@@ -1,0 +1,69 @@
+"""Engine equivalence: matmul / conv backends vs the exact naive oracle
+(the analog of the reference's FFT-vs-Karatsuba differential tests,
+test_parallel_multiplications.cpp:126-132 — but required to match exactly,
+not within +-1, because our backends are exact integer arithmetic)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tfhe_tpu.ops.engine import EngineConfig, make_engine
+
+
+def _rand_case(rng, N, bits, digit_bits, B, J, U):
+    dt = np.int32 if bits == 32 else np.int64
+    half = 1 << (digit_bits - 1)
+    x = rng.integers(-half, half, (B, J, N)).astype(np.int32)
+    if bits == 32:
+        key = rng.integers(-2**31, 2**31, (J, U, N)).astype(np.int32)
+    else:
+        key = rng.integers(0, 2**64, (J, U, N), dtype=np.uint64).astype(np.int64)
+    return x, key, dt
+
+
+@pytest.mark.parametrize("backend", ["matmul", "conv", "conv_bf16"])
+@pytest.mark.parametrize("bits,digit_bits", [(32, 8), (32, 7), (64, 9)])
+def test_backend_matches_naive(backend, bits, digit_bits):
+    N, B, J, U = 64, 3, 4, 2
+    cfg = EngineConfig(N=N, bits=bits, digit_bits=digit_bits)
+    rng = np.random.default_rng(42)
+    x, key, dt = _rand_case(rng, N, bits, digit_bits, B, J, U)
+
+    oracle = make_engine(cfg, "naive")
+    ref = np.asarray(oracle.accumulate(jnp.asarray(x),
+                                       oracle.prepare(jnp.asarray(key))))
+    eng = make_engine(cfg, backend)
+    got = np.asarray(eng.accumulate(jnp.asarray(x), eng.prepare(jnp.asarray(key))))
+    assert got.dtype == ref.dtype == dt
+    assert np.array_equal(got, ref)
+
+
+def test_naive_engine_is_negacyclic():
+    # cross-check the oracle itself against a scalar python model
+    N, J, U = 16, 2, 1
+    cfg = EngineConfig(N=N, bits=32, digit_bits=8)
+    rng = np.random.default_rng(7)
+    x = rng.integers(-128, 128, (1, J, N)).astype(np.int32)
+    key = rng.integers(-2**31, 2**31, (J, U, N)).astype(np.int32)
+    eng = make_engine(cfg, "naive")
+    got = np.asarray(eng.accumulate(jnp.asarray(x), eng.prepare(jnp.asarray(key))))
+    expect = np.zeros((U, N), np.int64)
+    for j in range(J):
+        full = np.convolve(x[0, j].astype(object), key[j, 0].astype(object))
+        res = np.zeros(N, dtype=object)
+        res[:N] += full[:N]
+        res[: N - 1] -= full[N:]
+        expect[0] += np.array([int(v) % 2**32 for v in res], np.uint64).astype(np.int64)
+    expect = (expect % 2**32).astype(np.uint32).astype(np.int32)
+    assert np.array_equal(got[0], expect)
+
+
+def test_engine_batch_shapes():
+    cfg = EngineConfig(N=32, bits=32, digit_bits=8)
+    eng = make_engine(cfg, "matmul")
+    rng = np.random.default_rng(3)
+    key = rng.integers(-2**31, 2**31, (3, 2, 32)).astype(np.int32)
+    prep = eng.prepare(jnp.asarray(key))
+    x = rng.integers(-128, 128, (5, 4, 3, 32)).astype(np.int32)  # extra leading dims
+    out = eng.accumulate(jnp.asarray(x), prep)
+    assert out.shape == (5, 4, 2, 32)
