@@ -25,7 +25,7 @@ def _rand_case(rng, N, bits, digit_bits, B, J, U):
 @pytest.mark.parametrize("bits,digit_bits", [(32, 8), (32, 7), (64, 9)])
 def test_backend_matches_naive(backend, bits, digit_bits):
     N, B, J, U = 64, 3, 4, 2
-    cfg = EngineConfig(N=N, bits=bits, digit_bits=digit_bits)
+    cfg = EngineConfig(N=N, out_bits=bits, digit_bits=digit_bits)
     rng = np.random.default_rng(42)
     x, key, dt = _rand_case(rng, N, bits, digit_bits, B, J, U)
 
@@ -41,7 +41,7 @@ def test_backend_matches_naive(backend, bits, digit_bits):
 def test_naive_engine_is_negacyclic():
     # cross-check the oracle itself against a scalar python model
     N, J, U = 16, 2, 1
-    cfg = EngineConfig(N=N, bits=32, digit_bits=8)
+    cfg = EngineConfig(N=N, out_bits=32, digit_bits=8)
     rng = np.random.default_rng(7)
     x = rng.integers(-128, 128, (1, J, N)).astype(np.int32)
     key = rng.integers(-2**31, 2**31, (J, U, N)).astype(np.int32)
@@ -59,7 +59,7 @@ def test_naive_engine_is_negacyclic():
 
 
 def test_engine_batch_shapes():
-    cfg = EngineConfig(N=32, bits=32, digit_bits=8)
+    cfg = EngineConfig(N=32, out_bits=32, digit_bits=8)
     eng = make_engine(cfg, "matmul")
     rng = np.random.default_rng(3)
     key = rng.integers(-2**31, 2**31, (3, 2, 32)).astype(np.int32)

@@ -78,3 +78,14 @@ def test_signed_planes_exact():
     recon = planes[0].astype(np.int32) + (planes[1].astype(np.int32) << 7)
     assert np.array_equal(recon, d)
     assert np.abs(planes).max() <= 64
+
+
+def test_signed_planes_64bit_full_width():
+    # regression: planes must not truncate int64 operands (key_times path)
+    rng = np.random.default_rng(9)
+    x = rng.integers(0, 2**64, 64, dtype=np.uint64).astype(np.int64)
+    planes = np.asarray(T.signed_planes(jnp.asarray(x), 7, 10))
+    recon = np.zeros(64, np.int64)
+    for i in range(10):
+        recon += planes[i].astype(np.int64) << (7 * i)
+    assert np.array_equal(recon, x)

@@ -1,0 +1,115 @@
+"""Batched TRLWE (TLWE over the ring) — R5 of SURVEY.md §2
+(tlwe_functions.cpp:14-379).
+
+Layout: a TRLWE batch is one int array (..., k+1, N), b = [..., k, :]
+(poc_types.h:164-184).  Encryption/phase use the same negacyclic engines as
+the hot path: the binary key polynomial is prepared once (single int8 limb,
+key_bits=8) and s (*) a runs as an exact MXU product with the full-width
+torus polynomial split into base-2^7 planes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from tfhe_tpu.params import TLweParams
+from tfhe_tpu.rng import TfheRng
+from tfhe_tpu.ops.engine import EngineConfig, make_engine
+from tfhe_tpu.ops import poly
+
+
+@dataclasses.dataclass
+class TLweKey:
+    params: TLweParams
+    key: np.ndarray                 # (k, N) int32 bits
+    _prep: dict | None = None       # engine-prepared form of the key
+    _eng: object | None = None
+
+    @staticmethod
+    def generate(params: TLweParams, rng: TfheRng) -> "TLweKey":
+        return TLweKey(params, np.asarray(rng.bit((params.k, params.N)), np.int32))
+
+    @staticmethod
+    def from_bits(params: TLweParams, bits) -> "TLweKey":
+        return TLweKey(params, np.asarray(bits, np.int32).reshape(params.k, params.N))
+
+    def engine(self, backend: str = "matmul"):
+        """Engine computing sum_i s_i (*) x_i for this key (prepared once)."""
+        if self._prep is None:
+            cfg = EngineConfig(N=self.params.N, out_bits=self.params.bits,
+                               digit_bits=self.params.bits, key_bits=8)
+            eng = make_engine(cfg, backend)
+            kp = jnp.asarray(self.key, jnp.int32)[:, None, :]   # (k, 1, N)
+            object.__setattr__(self, "_prep", eng.prepare(kp))
+            object.__setattr__(self, "_eng", eng)
+        return self._eng, self._prep
+
+    def key_times(self, x):
+        """sum_i s_i (*) x[..., i, :] for x (..., k, N) torus."""
+        eng, prep = self.engine()
+        return eng.accumulate(x, prep)[..., 0, :]
+
+
+def _noise(params: TLweParams, rng: TfheRng, shape, stdev):
+    if params.bits == 32:
+        return rng.gaussian32(np.int32(0), stdev, shape)
+    return rng.gaussian64(np.int64(0), stdev, shape)
+
+
+def _uniform(params: TLweParams, rng: TfheRng, shape):
+    return rng.uniform32(shape) if params.bits == 32 else rng.uniform64(shape)
+
+
+def encrypt_zero(key: TLweKey, rng: TfheRng, batch_shape=(), stdev=None):
+    """TLWE(0): b = e + sum s_i (*) a_i (tLweSymEncryptZero,
+    tlwe_functions.cpp:60-73).  Returns (..., k+1, N)."""
+    p = key.params
+    stdev = p.stdev if stdev is None else stdev
+    a = jnp.asarray(_uniform(p, rng, batch_shape + (p.k, p.N)))
+    e = jnp.asarray(_noise(p, rng, batch_shape + (p.N,), stdev))
+    b = e + key.key_times(a)
+    return jnp.concatenate([a, b[..., None, :]], axis=-2)
+
+
+def encrypt_poly(key: TLweKey, messages, rng: TfheRng, stdev=None):
+    """TLWE of torus polynomials (..., N) (tLweSymEncrypt,
+    tlwe_functions.cpp:75-82)."""
+    messages = jnp.asarray(messages)
+    c = encrypt_zero(key, rng, tuple(messages.shape[:-1]), stdev)
+    return c.at[..., key.params.k, :].add(messages)
+
+
+def encrypt_scalar(key: TLweKey, mu, rng: TfheRng, batch_shape=(), stdev=None):
+    """TLWE with constant-coefficient message mu (tLweSymEncryptT,
+    tlwe_functions.cpp:84-88)."""
+    c = encrypt_zero(key, rng, batch_shape, stdev)
+    return c.at[..., key.params.k, 0].add(mu)
+
+
+def tlwe_phase(samples, key: TLweKey):
+    """phi = b - sum s_i (*) a_i (tLwePhase, tlwe_functions.cpp:92-99)."""
+    samples = jnp.asarray(samples)
+    k = key.params.k
+    a, b = samples[..., :k, :], samples[..., k, :]
+    return b - key.key_times(a)
+
+
+def noiseless_trivial_poly(mu, k: int):
+    """(0, mu) (tLweNoiselessTrivial, tlwe_functions.cpp:146-152)."""
+    mu = jnp.asarray(mu)
+    a = jnp.zeros(mu.shape[:-1] + (k, mu.shape[-1]), mu.dtype)
+    return jnp.concatenate([a, mu[..., None, :]], axis=-2)
+
+
+def mul_by_xai_minus_one(power, samples):
+    """(X^power - 1) * sample across all k+1 polynomials
+    (tLweMulByXaiMinusOne, tlwe_functions.cpp:209-213)."""
+    return poly.mul_by_xai_minus_one(power, samples)
+
+
+def extract_lwe(samples, index: int = 0):
+    """TRLWE -> LWE at coefficient `index` (tlwe_functions.cpp:351-362)."""
+    return poly.sample_extract(samples, index)

@@ -136,7 +136,9 @@ def signed_planes(d, plane_bits: int, num_planes: int):
     wider than 8 bits, e.g. bgbit_lvl2=9).  Exact: d == sum_i p_i 2^(b*i)."""
     base = 1 << plane_bits
     half = base >> 1
-    u = jnp.asarray(d, jnp.int32)
+    u = jnp.asarray(d)
+    if u.dtype not in (jnp.int32, jnp.int64):
+        u = u.astype(jnp.int32)
     out = []
     for _ in range(num_planes):
         r = ((u + half) & (base - 1)) - half
