@@ -1,0 +1,106 @@
+"""End-to-end circuit bootstrapping on toy parameters (C18-C23)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tfhe_tpu.params import CB_TOY
+from tfhe_tpu.rng import TfheRng
+from tfhe_tpu import lwe, tlwe, tgsw
+from tfhe_tpu.boot import circuit
+
+
+@pytest.fixture(scope="module")
+def keys():
+    rng = TfheRng(42)
+    sk = circuit.CircuitSecretKey.generate(CB_TOY, rng)
+    ck = circuit.CircuitCloudKey.generate(sk, rng, backend="conv")
+    return sk, ck
+
+
+def _encrypt_bits(sk, bits, rng):
+    msgs = np.where(np.asarray(bits).astype(bool), np.int32(-(1 << 31)), 0)
+    return lwe.encrypt(sk.lwe_lvl1, msgs.astype(np.int32), rng, 2.0**-20)
+
+
+def test_priv_keyswitch_semantics(keys):
+    """privKS(z) maps LWE64 x to TLWE32 of K_z * t64tot32(phase(x))."""
+    sk, ck = keys
+    p = CB_TOY
+    rng = TfheRng(3)
+    # trivial LWE64 sample: a=0, b=mu (phase = mu)
+    mu64 = np.int64(1) << 40
+    x = np.zeros((1, p.n_lvl2 + 1), np.int64)
+    x[0, -1] = mu64
+    mu32 = np.int32(mu64 >> 32)
+    for z in (0, 1):
+        out = circuit.priv_keyswitch(jnp.asarray(x), ck.privks, z)
+        ph = np.asarray(tlwe.tlwe_phase(out, sk.ring_lvl1))[0]
+        if z == 1:
+            want = np.zeros(p.n_lvl1, np.int64)
+            want[0] = mu32
+        else:
+            # K_0 = -s1 as a polynomial
+            want = -(sk.ring_lvl1.key[0].astype(np.int64)) * mu32
+        err = np.abs(((ph.astype(np.int64) - want + 2**31) % 2**32) - 2**31)
+        assert err.max() < 2**22, (z, err.max())
+
+
+def test_circuit_bootstrap_bits(keys):
+    sk, ck = keys
+    p = CB_TOY
+    rng = TfheRng(5)
+    bits = np.array([0, 1, 1, 0])
+    ct = _encrypt_bits(sk, bits, rng)
+    gsw = circuit.circuit_bootstrap(ct, ck.data, p, backend="conv")
+    assert gsw.shape == (4, 2, p.tgsw_lvl1.l, 2, p.n_lvl1)
+
+    # check TRGSW phase structure: row (z=1, w): bit * h_w * delta_0
+    ph = np.asarray(tgsw.tgsw_phase(gsw, sk.ring_lvl1))  # (4, 2, l, 2? ...)
+    h = [1 << (32 - (w + 1) * p.tgsw_lvl1.bgbit) for w in range(p.tgsw_lvl1.l)]
+    for b in range(4):
+        for w in range(p.tgsw_lvl1.l):
+            row = ph[b, 1, w]                     # (N,)
+            want0 = bits[b] * h[w]
+            err = abs(int(row[0]) - want0)
+            assert err < 2**22, (b, w, err, int(row[0]), want0)
+            assert np.abs(row[1:]).max() < 2**22
+
+
+def test_bootstrapped_gsw_drives_cmux(keys):
+    """The produced TRGSW works as a CMux selector at level 1 — the composed
+    LUT-evaluation property the PoC targets."""
+    sk, ck = keys
+    p = CB_TOY
+    rng = TfheRng(7)
+    bits = np.array([0, 1])
+    ct = _encrypt_bits(sk, bits, rng)
+    gsw = circuit.circuit_bootstrap(ct, ck.data, p, backend="conv")
+
+    m0 = np.zeros(p.n_lvl1, np.int32); m0[0] = 1 << 29
+    m1 = np.zeros(p.n_lvl1, np.int32); m1[0] = -(1 << 29)
+    d0 = tlwe.noiseless_trivial_poly(jnp.asarray(m0)[None], 1)
+    d1 = tlwe.noiseless_trivial_poly(jnp.asarray(m1)[None], 1)
+    for i, bit in enumerate(bits):
+        _, prep = tgsw.prepare(gsw[i], p.tgsw_lvl1, "matmul")
+        sel = tgsw.cmux(prep, d1, d0, p.tgsw_lvl1, "matmul")
+        ph = np.asarray(tlwe.tlwe_phase(sel, sk.ring_lvl1))[0]
+        want = m1 if bit else m0
+        err = np.abs(ph.astype(np.int64) - want)
+        assert err.max() < 2**26, (i, err.max())
+
+
+def test_shared_rotation_matches_per_level(keys):
+    sk, ck = keys
+    p = CB_TOY
+    rng = TfheRng(9)
+    ct = _encrypt_bits(sk, np.array([1]), rng)
+    g_shared = circuit.circuit_bootstrap(ct, ck.data, p, backend="conv",
+                                         shared_rotation=True)
+    g_sep = circuit.circuit_bootstrap(ct, ck.data, p, backend="conv",
+                                      shared_rotation=False)
+    # phases must agree closely (same bit, slightly different noise paths)
+    ph_a = np.asarray(tgsw.tgsw_phase(g_shared, sk.ring_lvl1)).astype(np.int64)
+    ph_b = np.asarray(tgsw.tgsw_phase(g_sep, sk.ring_lvl1)).astype(np.int64)
+    d = np.abs(((ph_a - ph_b + 2**31) % 2**32) - 2**31)
+    assert d.max() < 2**22

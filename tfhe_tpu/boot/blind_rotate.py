@@ -1,0 +1,78 @@
+"""Blind rotation — the bootstrap hot loop (C21 / R4 of SURVEY.md §2).
+
+The reference iterates n sequential CMux steps per ciphertext
+(tfhe_blindRotate_FFT, lwe_functions.cpp:337-357; circuitBootstrapWoKS,
+poc_CircuitBootstrapping.cpp:580-642).  TPU-native shape:
+
+  * the step loop is a `lax.scan` whose xs stream the per-step prepared
+    TRGSW key material from HBM (exactly the streaming the MXU wants);
+  * the whole ciphertext batch advances through each step together, so every
+    CMux is one large int8 MXU contraction over the batch;
+  * the per-ciphertext rotation exponents enter as `jnp.where`-gated static
+    rolls (ops.poly.mul_by_xai) — no gathers, no data-dependent control flow;
+  * the reference's `if (barai == 0) continue` shortcut is unnecessary:
+    digits of (X^0 - 1) * acc = 0 decompose to all-zero rows, so those batch
+    lanes pass through unchanged by construction.
+
+NOTE the reference PoC's rotation has a heap out-of-bounds bug for
+aibar >= N (poc_CircuitBootstrapping.cpp:596-597 reads acc1[j-aibar] /
+acc1[j-aibar+N] — ASan-verified; it behaves as bounded extra noise because
+the test vector is antiperiodic).  This implementation uses the
+mathematically consistent negacyclic rotation of the library path
+(torusPolynomialMulByXaiMinusOne, numeric_functions.cpp:304-323).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tfhe_tpu.params import TGswParams
+from tfhe_tpu import tlwe
+from tfhe_tpu.ops.decomp import decompose_tlwe
+from tfhe_tpu.ops.engine import make_engine
+from tfhe_tpu import tgsw
+
+
+def blind_rotate(acc, bk_prepared, abar, p: TGswParams, backend: str = "matmul",
+                 unroll: int = 1):
+    """Run the n-step CMux loop.
+
+    acc:         (B, k+1, N) torus accumulator (noiseless test vector).
+    bk_prepared: pytree whose leaves have leading axis n (stacked per-step
+                 engine-prepared TRGSW of the small-LWE key bits).
+    abar:        (B, n) int32 rotation exponents in [0, 2N).
+    Returns the rotated accumulator (B, k+1, N).
+    """
+    eng = make_engine(tgsw.engine_config(p), backend)
+
+    def step(acc, xs):
+        prep_i, a_i = xs
+        acc2 = tlwe.mul_by_xai_minus_one(a_i, acc)
+        digits = decompose_tlwe(acc2, p)
+        acc = acc + eng.accumulate(digits, prep_i)
+        return acc, None
+
+    acc, _ = lax.scan(step, acc, (bk_prepared, jnp.moveaxis(abar, -1, 0)),
+                      unroll=unroll)
+    return acc
+
+
+def rotate_and_extract(testvect, bk_prepared, barb, bara, p: TGswParams,
+                       backend: str = "matmul", unroll: int = 1):
+    """testvector * X^{2N - barb}, blind-rotate by bara, extract coefficient 0
+    (tfhe_blindRotateAndExtract_FFT, lwe_functions.cpp:366-393).
+
+    testvect: (N,) or (B, N); barb: (B,); bara: (B, n).
+    Returns LWE batch (B, k*N + 1).
+    """
+    N = p.tlwe.N
+    tv = jnp.asarray(testvect)
+    if tv.ndim == 1:
+        tv = jnp.broadcast_to(tv, (barb.shape[0], N))
+    from tfhe_tpu.ops import poly
+    tv = poly.mul_by_xai((2 * N - barb) % (2 * N), tv)
+    acc = tlwe.noiseless_trivial_poly(tv, p.tlwe.k)
+    acc = blind_rotate(acc, bk_prepared, bara, p, backend, unroll)
+    return tlwe.extract_lwe(acc, 0)

@@ -1,0 +1,213 @@
+"""Circuit bootstrapping: TLWE -> TRGSW via blind rotation + private
+functional key switch (C18-C23 of SURVEY.md §2,
+poc_CircuitBootstrapping.cpp:437-873).
+
+Pipeline (batched over ciphertexts):
+
+  LWE32(lvl1, bit/2) --preKS--> LWE32(lvl0) --modswitch--> Z_{2N2}
+     --blind rotation over the lvl2 Torus64 ring--> LWE64(lvl2, bit*mu_w)
+     --private functional KS (u in {0,1})--> TLWE32 rows of a TRGSW(bit)
+
+Deviations from the reference PoC, on purpose (all ASan/instrumentation
+findings recorded in PARITY.md):
+
+  * The PoC's rotation exponent is composition-inconsistent: preKeySwitch
+    negates the mask (result.a = -sum ks rows, poc:437-465) but
+    circuitBootstrapWoKS rotates by +abar (poc:580-642), so the exponent
+    carries a uniform 2*sum(a*s) term relative to the phase; its rotation
+    also drops the negacyclic sign on wrapped coefficients and reads out of
+    bounds for abar >= N (poc:593-597, ASan-verified).  We compose the
+    standard (library/CGGI17) way instead: testvector * X^{2N - barb} and
+    +abar steps, so the accumulator lands on X^{-phibar} * tv exactly.
+  * One blind rotation serves all ell1 output levels: the accumulator is
+    linear in the test vector and mu_w = mu_{w+1} << bgbit1, so rotating
+    once with the smallest mu and shifting the accumulator left by
+    bgbit1*(ell1-1-w) reproduces every level (noise amplified by at most
+    2^bgbit1, far inside the budget — see tfhe_tpu.noise).  The reference
+    reruns the full 500-step rotation per level (poc:845-847).
+
+Output bit semantics match the PoC driver: bit = 1 iff the input phase lies
+in (1/4, 3/4) — i.e. LWE messages encode bits as {0, 1/2}.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tfhe_tpu.params import CircuitParams, LweParams, KeySwitchParams
+from tfhe_tpu.rng import TfheRng
+from tfhe_tpu import torus as T
+from tfhe_tpu import lwe, tlwe, tgsw
+from tfhe_tpu.ops import poly
+from tfhe_tpu.boot import blind_rotate as br
+
+
+@dataclasses.dataclass
+class CircuitSecretKey:
+    params: CircuitParams
+    key_lvl0: lwe.LweKey
+    ring_lvl1: tlwe.TLweKey
+    ring_lvl2: tlwe.TLweKey
+    lwe_lvl1: lwe.LweKey          # ring_lvl1 as LWE(N1) (input side)
+
+    @staticmethod
+    def generate(p: CircuitParams, rng: TfheRng) -> "CircuitSecretKey":
+        k0 = lwe.LweKey.generate(LweParams(p.n_lvl0), rng)
+        r1 = tlwe.TLweKey.generate(p.lvl1, rng)
+        r2 = tlwe.TLweKey.generate(p.lvl2, rng)
+        l1 = lwe.LweKey(LweParams(p.n_lvl1), r1.key.reshape(-1))
+        return CircuitSecretKey(p, k0, r1, r2, l1)
+
+
+@dataclasses.dataclass
+class PrivKeySwitchKey:
+    """privKS[z][i][j][v] = TLWE32_{lvl1}(K_z * key2ext[i] * v * 2^(32-(j+1)bb))
+    with K_0 = -s1 (mask bloc), K_1 = 1, and key2ext = [s2, -1] so the body
+    is handled by the same digit loop (poc:367, 405-419).  Stored as int8
+    limb matmul matrices; digit-0 columns zeroed (the `aij != 0` skip)."""
+
+    ks: KeySwitchParams
+    n_in: int                       # n_lvl2 (+1 handled internally)
+    k: int
+    N: int
+    w_limbs: jnp.ndarray            # (2, 4, (n_in+1)*t*base, (k+1)*N) int8
+
+    @staticmethod
+    def generate(sk: CircuitSecretKey, rng: TfheRng) -> "PrivKeySwitchKey":
+        p = sk.params
+        ks = p.ks21
+        n2, N1, k = p.n_lvl2, p.n_lvl1, p.lvl1.k
+        base = ks.base
+        key2ext = np.concatenate([sk.ring_lvl2.key.reshape(-1),
+                                  np.array([-1], np.int32)])      # (n2+1,)
+        shifts = np.array([32 - (j + 1) * ks.basebit for j in range(ks.t)])
+        # mess[i, j, v] = (key2ext[i] << shift_j) * v  (int32 wrap)
+        mess = (key2ext[:, None, None].astype(np.int64)
+                << shifts[None, :, None]) * np.arange(base)[None, None, :]
+        mess = mess.astype(np.uint64).astype(np.uint32).astype(np.int32)
+        ws = []
+        for z in range(k + 1):
+            c = tlwe.encrypt_zero(sk.ring_lvl1, rng, mess.shape, ks.stdev)
+            c = c.at[..., z, 0].add(jnp.asarray(mess))  # K_z * m at bloc z
+            c = np.array(c)
+            c[:, :, 0, :, :] = 0                        # digit-0 rows
+            w = c.reshape((n2 + 1) * ks.t * base, (k + 1) * N1)
+            ws.append(T.balanced_limbs(jnp.asarray(w), 4, 8))
+        return PrivKeySwitchKey(ks, n2, k, N1, jnp.stack(ws, axis=0))
+
+
+def priv_keyswitch_digits(x64, ks: KeySwitchParams):
+    """64-bit unsigned rounding digits, top-down (circuitPrivKS,
+    poc:674-688): aibar = x + 2^(64-(1+bb*t)); digit_j =
+    (aibar >> (64-(j+1)bb)) & mask.  x64: (..., n+1).  -> (..., n+1, t)."""
+    prec_offset = jnp.uint64(1 << (64 - (1 + ks.basebit * ks.t)))
+    aibar = jnp.asarray(x64, jnp.int64).astype(jnp.uint64) + prec_offset
+    digs = [((aibar >> jnp.uint64(64 - (j + 1) * ks.basebit))
+             & jnp.uint64(ks.base - 1)).astype(jnp.int32) for j in range(ks.t)]
+    return jnp.stack(digs, axis=-1)
+
+
+def priv_keyswitch(x64, pksk: PrivKeySwitchKey, z: int):
+    """LWE64(n2) -> TLWE32(lvl1) of K_z * t64tot32(phase(x)): one-hot int8
+    matmul replacement of the digit scatter loop (poc:667-698)."""
+    digs = priv_keyswitch_digits(x64, pksk.ks)               # (..., n+1, t)
+    onehot = (digs[..., None] == jnp.arange(pksk.ks.base)).astype(jnp.int8)
+    onehot = onehot.reshape(*digs.shape[:-2], -1)
+    acc = 0
+    for l in range(pksk.w_limbs.shape[1]):
+        part = jnp.matmul(onehot, pksk.w_limbs[z, l],
+                          preferred_element_type=jnp.int32)
+        acc = acc + (part << (8 * l))
+    out = (-acc).reshape(*digs.shape[:-2], pksk.k + 1, pksk.N)
+    return out
+
+
+@dataclasses.dataclass
+class CircuitCloudKey:
+    params: CircuitParams
+    backend: str
+    preks: lwe.KeySwitchKey          # lvl1 -> lvl0 (torus32)
+    bk_prepared: object              # stacked prepared TRGSW64 of key_lvl0
+    privks: PrivKeySwitchKey
+
+    @staticmethod
+    def generate(sk: CircuitSecretKey, rng: TfheRng, backend: str = "conv",
+                 keep_raw_ks: bool = False) -> "CircuitCloudKey":
+        p = sk.params
+        preks = lwe.KeySwitchKey.generate(sk.lwe_lvl1, sk.key_lvl0, p.ks10,
+                                          rng, keep_raw=keep_raw_ks)
+        gsw = tgsw.encrypt(sk.ring_lvl2, sk.key_lvl0.key, p.tgsw_lvl2, rng,
+                           stdev=p.bk_stdev)    # (n0, 2, l2, 2, N2) int64
+        eng = tgsw.make_engine(tgsw.engine_config(p.tgsw_lvl2), backend)
+        prep = jax.lax.map(lambda g: eng.prepare(tgsw.rows(g)), gsw)
+        privks = PrivKeySwitchKey.generate(sk, rng)
+        return CircuitCloudKey(p, backend, preks, prep, privks)
+
+    @property
+    def data(self):
+        return {"preks": self.preks.w_limbs, "bk": self.bk_prepared,
+                "privks": self.privks.w_limbs}
+
+
+def circuit_bootstrap(samples, key_data, p: CircuitParams,
+                      backend: str = "conv", shared_rotation: bool = True,
+                      unroll: int = 1):
+    """LWE32(lvl1, bit/2) batch (B, n1+1) -> TRGSW32 batch
+    (B, k+1, ell1, k+1, N1) encrypting bit = [phase in (1/4, 3/4)]
+    (tfhe_CircuitBootstrapFFT, poc:823-873, corrected composition)."""
+    N2 = p.n_lvl2
+    k = p.lvl1.k
+    ell1, bgbit1 = p.tgsw_lvl1.l, p.tgsw_lvl1.bgbit
+
+    # 1. pre key switch lvl1 -> lvl0 (poc:832)
+    preks = lwe.KeySwitchKey(p.ks10, p.n_lvl1, p.n_lvl0, key_data["preks"])
+    x0 = lwe.keyswitch(samples, preks)                        # (B, n0+1)
+
+    # 2. mod switch to Z_{2*N2} (poc:836 / preModSwitch :472)
+    abar = T.mod_switch_from_torus32(x0[..., :-1], 2 * N2)    # (B, n0)
+    bbar = T.mod_switch_from_torus32(x0[..., -1], 2 * N2)     # (B,)
+
+    # 3. blind rotation(s) at lvl2.  Test vector (poc:552-562):
+    #    [-mu2]*N/2 ++ [mu2]*N/2; after X^{-phibar} rotation, coefficient 0
+    #    is +mu2 iff phibar in [N/2, 3N/2) iff phase in [1/4, 3/4).
+    pksk = PrivKeySwitchKey(p.ks21, p.n_lvl2, k, p.n_lvl1, key_data["privks"])
+
+    def rotate_for(w):
+        mu2 = np.int64(1) << (63 - (w + 1) * bgbit1)          # mu_w / 2
+        tv = jnp.concatenate([
+            jnp.full((N2 // 2,), -mu2, jnp.int64),
+            jnp.full((N2 // 2,), mu2, jnp.int64)])
+        ext = br.rotate_and_extract(tv, key_data["bk"], bbar, abar,
+                                    p.tgsw_lvl2, backend, unroll)
+        # recentre: += mu2 so the message is {0, mu_w} (poc:648)
+        return ext.at[..., -1].add(jnp.int64(mu2))
+
+    if shared_rotation:
+        base_ext = rotate_for(ell1 - 1)
+        exts = [(base_ext.astype(jnp.int64) << (bgbit1 * (ell1 - 1 - w)))
+                for w in range(ell1)]
+    else:
+        exts = [rotate_for(w) for w in range(ell1)]
+
+    # 4. private functional key switches fill the TRGSW rows (poc:845-855)
+    rows = []
+    for w, ext in enumerate(exts):
+        for z in range(k + 1):
+            rows.append(priv_keyswitch(ext, pksk, z))         # (B, k+1, N1)
+    # rows ordered (w, z); TRGSW layout is (bloc z, level w, k+1, N)
+    out = jnp.stack(rows, axis=-3)                            # (B, ell1*(k+1), k+1, N1)
+    B = out.shape[:-3]
+    out = out.reshape(*B, ell1, k + 1, k + 1, p.n_lvl1)
+    return jnp.swapaxes(out, -4, -3)                          # (B, k+1, ell1, k+1, N1)
+
+
+def make_circuit_bootstrap_fn(p: CircuitParams, backend: str = "conv",
+                              shared_rotation: bool = True, unroll: int = 1):
+    import functools
+    return jax.jit(functools.partial(
+        circuit_bootstrap, p=p, backend=backend,
+        shared_rotation=shared_rotation, unroll=unroll))

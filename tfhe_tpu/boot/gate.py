@@ -1,0 +1,167 @@
+"""Gate bootstrapping (R4 of SURVEY.md §2: lwe_functions.cpp:399-446) and
+the homomorphic boolean gate set built on it (the upstream TFHE gate API the
+reference's library files imply).
+
+Booleans use the standard TFHE encoding: False = -1/8, True = +1/8 on the
+torus.  Each binary gate is one affine combination of input LWE samples
+followed by one bootstrap with test vector [1/8, ..., 1/8].
+
+Key material is kept as pure pytrees (CloudKeyData) so the whole bootstrap
+jits and scans cleanly; `CloudKey` is the host-side wrapper that generates
+and owns them.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tfhe_tpu.params import GateParams, LweParams
+from tfhe_tpu.rng import TfheRng
+from tfhe_tpu import lwe, tlwe, tgsw
+from tfhe_tpu import torus as T
+from tfhe_tpu.boot import blind_rotate as br
+
+MU_BOOL = 1 << 29            # 1/8 as Torus32
+
+
+@dataclasses.dataclass
+class SecretKey:
+    params: GateParams
+    lwe_key: lwe.LweKey          # small key (level 0 analog)
+    ring_key: tlwe.TLweKey       # accumulator ring key
+    extracted_key: lwe.LweKey    # ring key reinterpreted as LWE(k*N)
+
+    @staticmethod
+    def generate(params: GateParams, rng: TfheRng) -> "SecretKey":
+        lk = lwe.LweKey.generate(params.lwe, rng)
+        rk = tlwe.TLweKey.generate(params.tgsw.tlwe, rng)
+        ek = lwe.LweKey(LweParams(n=rk.params.extracted_n),
+                        rk.key.reshape(-1))
+        return SecretKey(params, lk, rk, ek)
+
+
+@dataclasses.dataclass
+class CloudKey:
+    """Bootstrapping key (TRGSW of every small-key bit, engine-prepared and
+    stacked over steps) + key switch back to the small key
+    (LweBootstrappingKeyFFT, lwe_functions.cpp:265-309)."""
+
+    params: GateParams
+    backend: str
+    bk_prepared: object            # pytree, leaves lead with axis n
+    ksk: lwe.KeySwitchKey
+
+    @staticmethod
+    def generate(sk: SecretKey, rng: TfheRng, backend: str = "matmul",
+                 keep_raw_ks: bool = False) -> "CloudKey":
+        p = sk.params
+        gsw = tgsw.encrypt(sk.ring_key, sk.lwe_key.key, p.tgsw, rng,
+                           stdev=p.tgsw.tlwe.stdev)       # (n, k+1, l, k+1, N)
+        eng = tgsw.make_engine(tgsw.engine_config(p.tgsw), backend)
+        prep = jax.lax.map(lambda g: eng.prepare(tgsw.rows(g)), gsw)
+        ksk = lwe.KeySwitchKey.generate(sk.extracted_key, sk.lwe_key, p.ks,
+                                        rng, keep_raw=keep_raw_ks)
+        return CloudKey(p, backend, prep, ksk)
+
+    @property
+    def data(self):
+        return {"bk": self.bk_prepared, "ksw": self.ksk.w_limbs}
+
+
+def bootstrap_woks(samples, bk_prepared, params: GateParams, mu: int = MU_BOOL,
+                   backend: str = "matmul", unroll: int = 1):
+    """Mod-switch + blind-rotate + extract (tfhe_bootstrap_woKS_FFT,
+    lwe_functions.cpp:399-428): output is LWE(k*N) of +-mu by sign(phase)."""
+    N = params.N
+    samples = jnp.asarray(samples)
+    a, b = samples[..., :-1], samples[..., -1]
+    barb = T.mod_switch_from_torus32(b, 2 * N)
+    bara = T.mod_switch_from_torus32(a, 2 * N)
+    testvect = jnp.full((N,), np.int32(mu), jnp.int32)
+    return br.rotate_and_extract(testvect, bk_prepared, barb, bara,
+                                 params.tgsw, backend, unroll)
+
+
+def bootstrap(samples, key_data, params: GateParams, mu: int = MU_BOOL,
+              backend: str = "matmul", unroll: int = 1):
+    """Full gate bootstrap: woKS + key switch (tfhe_bootstrap_FFT,
+    lwe_functions.cpp:434-446)."""
+    u = bootstrap_woks(samples, key_data["bk"], params, mu, backend, unroll)
+    ksk = lwe.KeySwitchKey(params.ks, params.tgsw.tlwe.extracted_n,
+                           params.lwe.n, key_data["ksw"])
+    return lwe.keyswitch(u, ksk)
+
+
+def make_bootstrap_fn(params: GateParams, mu: int = MU_BOOL,
+                      backend: str = "matmul", unroll: int = 1):
+    """Jitted (key_data, samples) -> bootstrapped samples."""
+    return jax.jit(partial(bootstrap, params=params, mu=mu, backend=backend,
+                           unroll=unroll))
+
+
+# ---------------------------------------------------------------------------
+# Homomorphic gates (upstream TFHE boolean API)
+# ---------------------------------------------------------------------------
+
+def _trivial(mu, n):
+    return lwe.noiseless_trivial(jnp.full((), np.int32(mu), jnp.int32), n)
+
+
+def encrypt_bool(sk: SecretKey, bits, rng: TfheRng):
+    msgs = np.where(np.asarray(bits).astype(bool), MU_BOOL, -MU_BOOL).astype(np.int32)
+    return lwe.encrypt(sk.lwe_key, msgs, rng, sk.params.lwe.stdev)
+
+
+def decrypt_bool(sk: SecretKey, samples):
+    return np.asarray(lwe.phase(samples, sk.lwe_key)) > 0
+
+
+def gate_nand(ck_data, x, y, params, backend="matmul"):
+    t = _trivial(MU_BOOL, params.lwe.n) - x - y
+    return bootstrap(t, ck_data, params, MU_BOOL, backend)
+
+
+def gate_and(ck_data, x, y, params, backend="matmul"):
+    t = _trivial(-MU_BOOL, params.lwe.n) + x + y
+    return bootstrap(t, ck_data, params, MU_BOOL, backend)
+
+
+def gate_or(ck_data, x, y, params, backend="matmul"):
+    t = _trivial(MU_BOOL, params.lwe.n) + x + y
+    return bootstrap(t, ck_data, params, MU_BOOL, backend)
+
+
+def gate_nor(ck_data, x, y, params, backend="matmul"):
+    t = _trivial(-MU_BOOL, params.lwe.n) - x - y
+    return bootstrap(t, ck_data, params, MU_BOOL, backend)
+
+
+def gate_xor(ck_data, x, y, params, backend="matmul"):
+    t = _trivial(1 << 30, params.lwe.n) + 2 * (x + y)    # (0, 1/4) + 2(x+y)
+    return bootstrap(t, ck_data, params, MU_BOOL, backend)
+
+
+def gate_xnor(ck_data, x, y, params, backend="matmul"):
+    t = _trivial(-(1 << 30), params.lwe.n) - 2 * (x + y)
+    return bootstrap(t, ck_data, params, MU_BOOL, backend)
+
+
+def gate_not(x):
+    """NOT is free: negate the sample (no bootstrap needed)."""
+    return -jnp.asarray(x)
+
+
+def gate_mux(ck_data, c, x, y, params, backend="matmul"):
+    """MUX(c, x, y) = c ? x : y via two bootstraps + keyswitched sum
+    (upstream bootsMUX structure)."""
+    u1 = bootstrap(_trivial(-MU_BOOL, params.lwe.n) + c + x, ck_data, params,
+                   MU_BOOL, backend)
+    u2 = bootstrap(_trivial(-MU_BOOL, params.lwe.n) - c + y, ck_data, params,
+                   MU_BOOL, backend)
+    t = u1 + u2 + _trivial(MU_BOOL, params.lwe.n)
+    return bootstrap(t, ck_data, params, MU_BOOL, backend)
