@@ -1,0 +1,130 @@
+#!/usr/bin/env python3
+"""Benchmark driver: batched gate bootstrapping throughput on the local
+accelerator.  Prints ONE JSON line:
+  {"metric": "gate_bootstraps_per_sec", "value": N, "unit": "ct/s",
+   "vs_baseline": N / 10000}
+
+Baseline: the BASELINE.json target of >=10k gate bootstraps/s per chip (the
+reference itself is a single-core CPU PoC at ~137 ms per *circuit* bootstrap
+and publishes no gate-bootstrap throughput).
+
+Environment overrides:
+  BENCH_BATCH   ciphertext batch per measurement (default 4096 on TPU)
+  BENCH_STEPS   override blind-rotation step count (default: full n)
+  BENCH_REPS    timing repetitions (default 3)
+  BENCH_BACKEND negacyclic engine backend (default "onthefly")
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    on_tpu = dev.platform == "tpu"
+
+    from tfhe_tpu.params import GATE_DEFAULT, GateParams, LweParams, TGswParams, TLweParams, KeySwitchParams
+    from tfhe_tpu.rng import TfheRng
+    from tfhe_tpu.boot import gate
+
+    if on_tpu:
+        params = GATE_DEFAULT
+        batch = int(os.environ.get("BENCH_BATCH", 4096))
+    else:
+        # CPU smoke configuration (drivers without a TPU attached)
+        params = GateParams(
+            lwe=LweParams(n=64, stdev=2.0**-15),
+            tgsw=TGswParams(l=3, bgbit=7,
+                            tlwe=TLweParams(N=256, k=1, stdev=2.0**-25, bits=32)),
+            ks=KeySwitchParams(t=8, basebit=2, stdev=2.0**-15),
+        )
+        batch = int(os.environ.get("BENCH_BATCH", 64))
+
+    backend = os.environ.get("BENCH_BACKEND", "onthefly")
+    reps = int(os.environ.get("BENCH_REPS", 3))
+    steps = os.environ.get("BENCH_STEPS")
+
+    t0 = time.time()
+    rng = TfheRng(0)
+    sk = gate.SecretKey.generate(params, rng)
+    ck = gate.CloudKey.generate(sk, rng, backend=backend)
+    key_data = ck.data
+    n_full = params.lwe.n
+    if steps:
+        # debug mode: truncate the scan (timing only; output not decryptable)
+        steps = int(steps)
+        key_data = dict(key_data)
+        key_data["bk"] = jax.tree.map(lambda a: a[:steps], key_data["bk"])
+        params = GateParams(lwe=LweParams(n=n_full, stdev=params.lwe.stdev),
+                            tgsw=params.tgsw, ks=params.ks)
+    keygen_s = time.time() - t0
+
+    boot = gate.make_bootstrap_fn(params, backend=backend)
+    if steps:
+        # patch: bootstrap with truncated bk requires matching abar length
+        import functools
+        from tfhe_tpu.boot import blind_rotate as br
+        from tfhe_tpu import torus as T, lwe as lwe_mod
+
+        @jax.jit
+        def boot(kd, samples):
+            N = params.N
+            a, b = samples[..., :-1], samples[..., -1]
+            barb = T.mod_switch_from_torus32(b, 2 * N)
+            bara = T.mod_switch_from_torus32(a, 2 * N)[:, :steps]
+            tv = jnp.full((N,), np.int32(gate.MU_BOOL), jnp.int32)
+            u = br.rotate_and_extract(tv, kd["bk"], barb, bara, params.tgsw,
+                                      backend)
+            ksk = lwe_mod.KeySwitchKey(params.ks, params.tgsw.tlwe.extracted_n,
+                                       params.lwe.n, kd["ksw"])
+            return lwe_mod.keyswitch(u, ksk)
+
+    bits = np.random.default_rng(1).integers(0, 2, batch)
+    ct = gate.encrypt_bool(sk, bits, rng)
+
+    t0 = time.time()
+    out = boot(key_data, ct)
+    out.block_until_ready()
+    compile_s = time.time() - t0
+
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        out = boot(key_data, ct)
+        np.asarray(out[0])          # force full execution + transfer
+        times.append(time.time() - t0)
+    best = min(times)
+    # correctness check rides along (full-depth runs only)
+    correct = None
+    if not steps:
+        correct = bool(np.array_equal(gate.decrypt_bool(sk, out),
+                                      bits.astype(bool)))
+
+    value = batch / best
+    result = {
+        "metric": "gate_bootstraps_per_sec",
+        "value": round(value, 1),
+        "unit": "ct/s",
+        "vs_baseline": round(value / 10000.0, 4),
+    }
+    meta = {
+        "device": str(dev), "batch": batch, "backend": backend,
+        "params": f"n={params.lwe.n},N={params.N},l={params.tgsw.l},bg=2^{params.tgsw.bgbit}",
+        "steps": steps or n_full, "best_s": round(best, 4),
+        "keygen_s": round(keygen_s, 1), "compile_s": round(compile_s, 1),
+        "all_correct": correct,
+    }
+    print(json.dumps(result))
+    print("# " + json.dumps(meta), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -21,7 +21,7 @@ def _rand_case(rng, N, bits, digit_bits, B, J, U):
     return x, key, dt
 
 
-@pytest.mark.parametrize("backend", ["matmul", "conv", "conv_bf16"])
+@pytest.mark.parametrize("backend", ["matmul", "onthefly", "conv", "conv_bf16"])
 @pytest.mark.parametrize("bits,digit_bits", [(32, 8), (32, 7), (64, 9)])
 def test_backend_matches_naive(backend, bits, digit_bits):
     N, B, J, U = 64, 3, 4, 2

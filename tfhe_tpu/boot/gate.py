@@ -100,8 +100,9 @@ def bootstrap(samples, key_data, params: GateParams, mu: int = MU_BOOL,
 def make_bootstrap_fn(params: GateParams, mu: int = MU_BOOL,
                       backend: str = "matmul", unroll: int = 1):
     """Jitted (key_data, samples) -> bootstrapped samples."""
-    return jax.jit(partial(bootstrap, params=params, mu=mu, backend=backend,
-                           unroll=unroll))
+    def fn(key_data, samples):
+        return bootstrap(samples, key_data, params, mu, backend, unroll)
+    return jax.jit(fn)
 
 
 # ---------------------------------------------------------------------------

@@ -236,9 +236,61 @@ class ConvEngine:
         return _recombine(cfg, jnp.stack(outs))
 
 
+class OnTheFlyMatmulEngine:
+    """Keys stored as O(N) doubled-limb vectors; each accumulate call
+    materializes the negacyclic matrices with a tile/reshape stride trick
+    (contiguous copies only — no gathers) and runs the same int8 MXU matmul
+    as MatmulEngine.
+
+    Rationale: the dense matrices blow key memory up by a factor N (e.g.
+    30 GB for a full gate-bootstrap key at N=1024), which exceeds v5e-class
+    HBM; materializing per step costs ~2x the matrix's HBM traffic, a small
+    fraction of the matmul compute.  Stride trick: for v of length 2N,
+    tile(v, N)[: N*(2N-1)].reshape(N, 2N-1) has row t equal to roll(v, t),
+    so its [:, :N] block is exactly the negacyclic matrix M[t, i] =
+    v[(i - t) mod 2N].
+    """
+
+    def __init__(self, cfg: EngineConfig):
+        self.cfg = cfg
+
+    def prepare(self, key_polys):
+        cfg = self.cfg
+        key_polys = jnp.asarray(key_polys)
+        J, U, N = key_polys.shape
+        assert N == cfg.N
+        return {"v": _key_limbs_doubled(cfg, key_polys)}    # (L,J,U,2N) int8
+
+    def _materialize(self, v):
+        N = self.cfg.N
+        L, J, U, _ = v.shape
+        t = jnp.tile(v, (1, 1, 1, N))[..., : N * (2 * N - 1)]
+        m = t.reshape(L, J, U, N, 2 * N - 1)[..., :N]       # (L,J,U,t,i)
+        w = jnp.transpose(m, (1, 3, 2, 0, 4))               # (J,t,U,L,i)
+        return w.reshape(J * N, U * L * N)
+
+    def accumulate(self, x, prepared):
+        cfg = self.cfg
+        w = self._materialize(prepared["v"])
+        N, L = cfg.N, cfg.num_limbs
+        J = w.shape[0] // N
+        U = w.shape[1] // (L * N)
+        planes = _digit_planes(cfg, x)
+        lead = planes.shape[1:-2]
+        flat = planes.reshape(planes.shape[0], -1, J * N)
+        outs = []
+        for p in range(flat.shape[0]):
+            y = lax.dot_general(flat[p], w, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+            outs.append(y.reshape(*lead, U, L, N))
+        return _recombine(cfg, jnp.stack(outs))
+
+
 def make_engine(cfg: EngineConfig, backend: str = "matmul"):
     if backend == "matmul":
         return MatmulEngine(cfg)
+    if backend == "onthefly":
+        return OnTheFlyMatmulEngine(cfg)
     if backend == "conv":
         return ConvEngine(cfg)
     if backend == "conv_bf16":
