@@ -1,0 +1,104 @@
+"""Noise calculators (C25), boolean circuit models, LUT trees, and key
+serialization."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tfhe_tpu.params import CB_ACTIVE, GATE_DEFAULT, GATE_TOY, TGswParams, TLweParams
+from tfhe_tpu import noise
+from tfhe_tpu.rng import TfheRng
+from tfhe_tpu import tlwe, tgsw
+
+
+def test_circuit_noise_matches_js_worksheet():
+    """Values for the active block, cross-checked by evaluating the JS
+    formulas (misc/params.html:100-127) by hand."""
+    r = noise.circuit_bootstrap_variances(CB_ACTIVE)
+    # tmodswitch = (500+1)/(16*2048^2)
+    assert abs(r.tmodswitch - 501 / (16 * 2048**2)) < 1e-12
+    # tpreks1 = 1024 * 6 * 2^-28
+    assert abs(r.tpreks1 - 1024 * 6 * 2.0**-28) < 1e-12
+    # tbk1 = 500*2*4*2048*(2^8)^2*2^-88
+    assert abs(r.tbk1 - 500 * 2 * 4 * 2048 * 2.0**16 * 2.0**-88) < 1e-20
+    assert r.final_variance < r.max_bootstrappable_variance
+    assert r.max_lvl1_depth > 1
+
+
+def test_gate_noise_default_params_bootstrappable():
+    r = noise.gate_bootstrap_variances(GATE_DEFAULT)
+    assert r.bootstrappable
+    # gate error probability should be cryptographically negligible
+    assert r.log2_err_gate < -30
+
+
+def test_shared_rotation_penalty_gates_the_optimization():
+    # For the active block the 2^(2*bgbit1) amplification of the rotation
+    # noise (dominated by the decomposition tail tbk2) grows TRGSW row
+    # variance ~10^4x -> circuit_bootstrap(shared_rotation=None) must fall
+    # back to the reference's per-level rotations.
+    from tfhe_tpu.params import CB_TOY
+    assert noise.shared_rotation_penalty(CB_ACTIVE) > noise.SHARED_ROTATION_MAX_PENALTY
+    assert noise.shared_rotation_penalty(CB_TOY) > 1.0  # not free even on toy
+
+
+def test_boolean_circuit_adder():
+    from tfhe_tpu.boot import gate
+    from tfhe_tpu.models import boolean
+    rng = TfheRng(31)
+    sk = gate.SecretKey.generate(GATE_TOY, rng)
+    ck = gate.CloudKey.generate(sk, rng, backend="onthefly")
+    circ = boolean.ripple_carry_adder(3)
+
+    xs = np.array([3, 5, 7])
+    ys = np.array([4, 2, 1])
+    B = len(xs)
+    bits = np.zeros((B, 6), np.int64)
+    for i in range(3):
+        bits[:, i] = (xs >> i) & 1
+        bits[:, 3 + i] = (ys >> i) & 1
+    cts = np.stack([np.asarray(gate.encrypt_bool(sk, bits[b], rng))
+                    for b in range(B)])
+    out = boolean.evaluate(circ, ck.data, GATE_TOY, jnp.asarray(cts),
+                           backend="onthefly")
+    dec = np.stack([gate.decrypt_bool(sk, out[b]) for b in range(B)])
+    got = sum(dec[:, i].astype(int) << i for i in range(4))
+    assert np.array_equal(got, xs + ys)
+
+
+def test_lut_tree():
+    from tfhe_tpu.models import lut
+    ring = TLweParams(N=64, k=1, stdev=0.0, bits=32)
+    p = TGswParams(l=3, bgbit=7, tlwe=ring)
+    rng = TfheRng(33)
+    key = tlwe.TLweKey.generate(ring, rng)
+    values = np.array([1, 2, 3, 4, 5, 6, 7, 0], np.int32) << 28
+    for index in (0, 3, 6):
+        sel_bits = [(index >> j) & 1 for j in range(3)]
+        sels = []
+        for b in sel_bits:
+            g = tgsw.encrypt(key, np.array([b]), p, rng)
+            sels.append(tgsw.prepare(g[0], p, "matmul")[1])
+        out = lut.eval_lut(sels, values, p, "matmul")
+        ph = np.asarray(tlwe.tlwe_phase(out[None], key))[0]
+        assert abs(int(ph[0]) - int(values[index])) < 2**16, index
+
+
+def test_serialization_roundtrip(tmp_path):
+    from tfhe_tpu.utils import serialization as ser
+    from tfhe_tpu.boot import gate
+    rng = TfheRng(37)
+    sk = gate.SecretKey.generate(GATE_TOY, rng)
+    ck = gate.CloudKey.generate(sk, rng, backend="onthefly")
+    path = str(tmp_path / "cloud.npz")
+    ser.save_keydata(path, ck.data, GATE_TOY, meta={"backend": "onthefly"})
+    tree, params, meta = ser.load_keydata(path)
+    assert meta["backend"] == "onthefly"
+    assert params == GATE_TOY
+    for a, b in zip(__import__("jax").tree.leaves(ck.data),
+                    __import__("jax").tree.leaves(tree)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    # loaded key actually bootstraps
+    ct = gate.encrypt_bool(sk, np.array([1, 0]), rng)
+    out = gate.bootstrap(ct, tree, params, backend="onthefly")
+    assert np.array_equal(gate.decrypt_bool(sk, out), [True, False])

@@ -19,12 +19,15 @@ findings recorded in PARITY.md):
     bounds for abar >= N (poc:593-597, ASan-verified).  We compose the
     standard (library/CGGI17) way instead: testvector * X^{2N - barb} and
     +abar steps, so the accumulator lands on X^{-phibar} * tv exactly.
-  * One blind rotation serves all ell1 output levels: the accumulator is
-    linear in the test vector and mu_w = mu_{w+1} << bgbit1, so rotating
-    once with the smallest mu and shifting the accumulator left by
-    bgbit1*(ell1-1-w) reproduces every level (noise amplified by at most
-    2^bgbit1, far inside the budget — see tfhe_tpu.noise).  The reference
-    reruns the full 500-step rotation per level (poc:845-847).
+  * Optionally one blind rotation serves all ell1 output levels: the
+    accumulator is linear in the test vector and mu_w = mu_{w+1} << bgbit1,
+    so rotating once with the smallest mu and shifting the extracted sample
+    left by bgbit1*(ell1-1-w) reproduces every level.  The shift amplifies
+    the rotation noise variance by 2^(2*bgbit1*(ell1-1)), so this is only
+    sound when that stays below the privKS noise floor —
+    noise.shared_rotation_penalty() decides; shared_rotation=None picks
+    automatically (CB_TOY: shared; CB_ACTIVE: falls back to the reference's
+    per-level rotations, poc:845-847).
 
 Output bit semantics match the PoC driver: bit = 1 iff the input phase lies
 in (1/4, 3/4) — i.e. LWE messages encode bits as {0, 1/2}.
@@ -154,7 +157,8 @@ class CircuitCloudKey:
 
 
 def circuit_bootstrap(samples, key_data, p: CircuitParams,
-                      backend: str = "conv", shared_rotation: bool = True,
+                      backend: str = "conv",
+                      shared_rotation: bool | None = None,
                       unroll: int = 1):
     """LWE32(lvl1, bit/2) batch (B, n1+1) -> TRGSW32 batch
     (B, k+1, ell1, k+1, N1) encrypting bit = [phase in (1/4, 3/4)]
@@ -162,6 +166,10 @@ def circuit_bootstrap(samples, key_data, p: CircuitParams,
     N2 = p.n_lvl2
     k = p.lvl1.k
     ell1, bgbit1 = p.tgsw_lvl1.l, p.tgsw_lvl1.bgbit
+    if shared_rotation is None:
+        from tfhe_tpu import noise
+        shared_rotation = (noise.shared_rotation_penalty(p)
+                           <= noise.SHARED_ROTATION_MAX_PENALTY)
 
     # 1. pre key switch lvl1 -> lvl0 (poc:832)
     preks = lwe.KeySwitchKey(p.ks10, p.n_lvl1, p.n_lvl0, key_data["preks"])
