@@ -262,26 +262,45 @@ class OnTheFlyMatmulEngine:
         return {"v": _key_limbs_doubled(cfg, key_polys)}    # (L,J,U,2N) int8
 
     def _materialize(self, v):
+        """(L,J,U,2N) -> (L,J,U,t,i): contiguous tile+reshape+slice only.
+
+        The (t, i) block of each vector is its negacyclic matrix; no
+        transpose is done here — the contraction below consumes this layout
+        directly so XLA folds any needed relayout into the matmul.
+        """
         N = self.cfg.N
-        L, J, U, _ = v.shape
         t = jnp.tile(v, (1, 1, 1, N))[..., : N * (2 * N - 1)]
-        m = t.reshape(L, J, U, N, 2 * N - 1)[..., :N]       # (L,J,U,t,i)
-        w = jnp.transpose(m, (1, 3, 2, 0, 4))               # (J,t,U,L,i)
-        return w.reshape(J * N, U * L * N)
+        return t.reshape(*v.shape[:-1], N, 2 * N - 1)[..., :N]
 
     def accumulate(self, x, prepared):
+        import jax as _jax
         cfg = self.cfg
-        w = self._materialize(prepared["v"])
         N, L = cfg.N, cfg.num_limbs
-        J = w.shape[0] // N
-        U = w.shape[1] // (L * N)
-        planes = _digit_planes(cfg, x)
+        v = prepared["v"]
+        _, J, U, _ = v.shape
+        planes = _digit_planes(cfg, x)                      # (P, ..., J, N)
         lead = planes.shape[1:-2]
-        flat = planes.reshape(planes.shape[0], -1, J * N)
+        if _jax.default_backend() == "tpu":
+            # Pallas Toeplitz materialization straight into matmul layout
+            from tfhe_tpu.ops.pallas_kernels import materialize_w
+            w = materialize_w(v)                            # (J*N, U*L*N)
+            flat = planes.reshape(planes.shape[0], -1, J * N)
+            outs = []
+            for p in range(flat.shape[0]):
+                y = lax.dot_general(flat[p], w, (((1,), (0,)), ((), ())),
+                                    preferred_element_type=jnp.int32)
+                outs.append(y.reshape(*lead, U, L, N))
+            return _recombine(cfg, jnp.stack(outs))
+        m = self._materialize(v)                            # (L,J,U,t,i)
+        flat = planes.reshape(planes.shape[0], -1, J, N)
         outs = []
         for p in range(flat.shape[0]):
-            y = lax.dot_general(flat[p], w, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.int32)
+            # contract (j, t): (B, J, t) x (L,J,U,t,i) -> (B, L, U, i)
+            y = lax.dot_general(
+                flat[p], m,
+                (((1, 2), (1, 3)), ((), ())),
+                preferred_element_type=jnp.int32)           # (B, L, U, i)
+            y = jnp.swapaxes(y, -3, -2)                     # (B, U, L, i)
             outs.append(y.reshape(*lead, U, L, N))
         return _recombine(cfg, jnp.stack(outs))
 

@@ -224,12 +224,18 @@ GATE_DEFAULT = GateParams(
     ks=KeySwitchParams(t=8, basebit=2, stdev=2.0**-15),
 )
 
-# Faster/larger-base variant (fewer decomposition rows => fewer MXU passes per
-# CMux).  Noise budget checked with tfhe_tpu.noise.gate_bootstrap_variances.
+# Faster variant: the upstream-TFHE 2017-era set (n=500, lvl0 stdev 2^-14,
+# same N=1024/l=3/Bg=2^7 ring) — 500 instead of 630 CMux steps.
+#
+# NOTE an l=2/Bg=2^8 set (l*bgbit=16) was tried and REJECTED empirically:
+# the decomposition-tail error accumulates super-sqrt(n) through the blind
+# rotation (measured ~2^-6 rms output noise with ZERO key noise, ~40x the
+# independent-tail model), leaving no gate margin at a 1/16 amplitude.
+# Keep l*bgbit >= 21 for torus32 accumulators.
 GATE_FAST = GateParams(
-    lwe=LweParams(n=630, stdev=2.0**-15),
-    tgsw=TGswParams(l=2, bgbit=10, tlwe=TLweParams(N=1024, k=1, stdev=2.0**-25, bits=32)),
-    ks=KeySwitchParams(t=8, basebit=2, stdev=2.0**-15),
+    lwe=LweParams(n=500, stdev=2.0**-14),
+    tgsw=TGswParams(l=3, bgbit=7, tlwe=TLweParams(N=1024, k=1, stdev=2.0**-25, bits=32)),
+    ks=KeySwitchParams(t=8, basebit=2, stdev=2.0**-14),
 )
 
 # Tiny sets for CPU unit tests: cryptographically meaningless, numerically
