@@ -67,3 +67,53 @@ def test_engine_batch_shapes():
     x = rng.integers(-128, 128, (5, 4, 3, 32)).astype(np.int32)  # extra leading dims
     out = eng.accumulate(jnp.asarray(x), prep)
     assert out.shape == (5, 4, 2, 32)
+
+
+# ---------------------------------------------------------------------------
+# Nussbaumer engine (ops/nussbaumer.py)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("N", [64, 128, 256])
+@pytest.mark.parametrize("bits,digit_bits", [(32, 7), (32, 8), (64, 9)])
+def test_nussbaumer_exact_when_key_divisible(N, bits, digit_bits):
+    """With key coefficients divisible by 2m the 1/2m fold is exact and the
+    engine must match the naive oracle BIT-EXACTLY."""
+    from tfhe_tpu.ops.nussbaumer import split_mr
+    B, J, U = 3, 4, 2
+    m, r = split_mr(N)
+    cfg = EngineConfig(N=N, out_bits=bits, digit_bits=digit_bits)
+    rng = np.random.default_rng(5)
+    x, key, dt = _rand_case(rng, N, bits, digit_bits, B, J, U)
+    key = (key >> np.uint8(m.bit_length())) << np.uint8(m.bit_length())  # multiple of 2m
+
+    oracle = make_engine(cfg, "naive")
+    ref = np.asarray(oracle.accumulate(jnp.asarray(x),
+                                       oracle.prepare(jnp.asarray(key))))
+    eng = make_engine(cfg, "nussbaumer")
+    got = np.asarray(eng.accumulate(jnp.asarray(x), eng.prepare(jnp.asarray(key))))
+    assert got.dtype == ref.dtype == dt
+    assert np.array_equal(got, ref)
+
+
+@pytest.mark.parametrize("N,bits,digit_bits", [(64, 32, 7), (256, 32, 7), (128, 64, 9)])
+def test_nussbaumer_fold_error_bounded(N, bits, digit_bits):
+    """Random keys: output differs from exact only by the key-rounding fold
+    a (*) eps with |eps| <= m — check the worst coefficient against the hard
+    bound J*N*max|digit|*m and a 6-sigma statistical bound."""
+    from tfhe_tpu.ops.nussbaumer import split_mr
+    B, J, U = 4, 4, 2
+    m, r = split_mr(N)
+    cfg = EngineConfig(N=N, out_bits=bits, digit_bits=digit_bits)
+    rng = np.random.default_rng(11)
+    x, key, dt = _rand_case(rng, N, bits, digit_bits, B, J, U)
+
+    oracle = make_engine(cfg, "naive")
+    ref = np.asarray(oracle.accumulate(jnp.asarray(x),
+                                       oracle.prepare(jnp.asarray(key))))
+    eng = make_engine(cfg, "nussbaumer")
+    got = np.asarray(eng.accumulate(jnp.asarray(x), eng.prepare(jnp.asarray(key))))
+    err = (got - ref).astype(np.int64 if bits == 32 else np.int64)
+    half = 1 << (digit_bits - 1)
+    var = J * N * (half**2 / 3) * ((2 * m) ** 2 / 12)
+    assert np.abs(err).max() <= 6 * np.sqrt(var)
+    assert np.abs(err).max() > 0 or m == 1   # rounding is really happening

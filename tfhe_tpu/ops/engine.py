@@ -306,6 +306,9 @@ class OnTheFlyMatmulEngine:
 
 
 def make_engine(cfg: EngineConfig, backend: str = "matmul"):
+    if backend == "nussbaumer":
+        from tfhe_tpu.ops.nussbaumer import NussbaumerEngine
+        return NussbaumerEngine(cfg)
     if backend == "matmul":
         return MatmulEngine(cfg)
     if backend == "onthefly":
