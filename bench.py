@@ -13,8 +13,9 @@ Environment overrides:
   BENCH_STEPS   override blind-rotation step count (default: full n)
   BENCH_REPS    timing repetitions (default 3)
   BENCH_BACKEND negacyclic engine backend (default "onthefly")
-  BENCH_PARAMS  "default" (n=630,l=3,bg=7, 128-bit) or "fast" (n=500,
-                2017-era upstream set)
+  BENCH_PARAMS  "default"/"mxu" (GATE_MXU: n=630,l=3,bg=7, 128-bit, BK
+                mod-switched to 2^24 / 3 int8 limbs), "exact" (GATE_DEFAULT,
+                full 32-bit BK), or "fast" (GATE_FAST: n=500, 2017-era set)
 """
 
 import json
@@ -33,13 +34,15 @@ def main():
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
 
-    from tfhe_tpu.params import GATE_DEFAULT, GATE_FAST, GateParams, LweParams, TGswParams, TLweParams, KeySwitchParams
+    from tfhe_tpu.params import (GATE_DEFAULT, GATE_FAST, GATE_MXU, GateParams,
+                                 LweParams, TGswParams, TLweParams, KeySwitchParams)
     from tfhe_tpu.rng import TfheRng
     from tfhe_tpu.boot import gate
 
     if on_tpu:
-        params = (GATE_FAST if os.environ.get("BENCH_PARAMS", "default") == "fast"
-                  else GATE_DEFAULT)
+        params = {"fast": GATE_FAST, "exact": GATE_DEFAULT,
+                  "default": GATE_MXU, "mxu": GATE_MXU}[
+                      os.environ.get("BENCH_PARAMS", "default")]
         batch = int(os.environ.get("BENCH_BATCH", 4096))
     else:
         # CPU smoke configuration (drivers without a TPU attached)

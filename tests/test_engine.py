@@ -117,3 +117,39 @@ def test_nussbaumer_fold_error_bounded(N, bits, digit_bits):
     var = J * N * (half**2 / 3) * ((2 * m) ** 2 / 12)
     assert np.abs(err).max() <= 6 * np.sqrt(var)
     assert np.abs(err).max() > 0 or m == 1   # rounding is really happening
+
+
+@pytest.mark.parametrize("backend", ["matmul", "onthefly", "conv"])
+def test_key_limb_truncation_bounded(backend):
+    """key_limbs=3 rounds keys to the top 24 bits: result differs from exact
+    by sum digit*eps with |eps| <= 2^7 — hard 6-sigma statistical bound."""
+    N, B, J, U = 64, 4, 6, 2
+    cfg = EngineConfig(N=N, out_bits=32, digit_bits=7, key_limbs=3)
+    rng = np.random.default_rng(9)
+    x, key, dt = _rand_case(rng, N, 32, 7, B, J, U)
+    key[0, 0, 0] = -2**31          # clamp edge
+    key[0, 0, 1] = 2**31 - 1
+
+    oracle = make_engine(EngineConfig(N=N, out_bits=32, digit_bits=7), "naive")
+    ref = np.asarray(oracle.accumulate(jnp.asarray(x),
+                                       oracle.prepare(jnp.asarray(key))))
+    eng = make_engine(cfg, backend)
+    got = np.asarray(eng.accumulate(jnp.asarray(x), eng.prepare(jnp.asarray(key))))
+    err = np.abs((got - ref).astype(np.int64))
+    var = J * N * (64**2 / 3) * (2.0**16 / 12)
+    assert err.max() <= 6 * np.sqrt(var)
+    assert err.max() > 0
+
+
+def test_noise_helpers():
+    from tfhe_tpu.params import GATE_MXU, GATE_DEFAULT
+    from tfhe_tpu.noise import (key_truncation_variance,
+                                nussbaumer_fold_variance,
+                                gate_bootstrap_variances)
+    g = gate_bootstrap_variances(GATE_MXU)
+    tv = key_truncation_variance(GATE_MXU)
+    assert key_truncation_variance(GATE_DEFAULT) == 0.0
+    # truncation must stay a modest fraction of the bk term it mimics
+    assert 0 < tv < 0.5 * g.tbk1
+    fv = nussbaumer_fold_variance(GATE_DEFAULT)
+    assert 0 < fv < 0.25 * g.final_variance

@@ -46,12 +46,19 @@ def blind_rotate(acc, bk_prepared, abar, p: TGswParams, backend: str = "matmul",
     Returns the rotated accumulator (B, k+1, N).
     """
     eng = make_engine(tgsw.engine_config(p), backend)
+    fused_rotdec = (jax.default_backend() == "tpu" and p.tlwe.bits == 32
+                    and p.bgbit <= 8)
 
     def step(acc, xs):
         prep_i, a_i = xs
-        acc2 = tlwe.mul_by_xai_minus_one(a_i, acc)
-        digits = decompose_tlwe(acc2, p)
-        acc = acc + eng.accumulate(digits, prep_i)
+        if fused_rotdec:
+            from tfhe_tpu.ops.pallas_kernels import rotate_decompose
+            digits = rotate_decompose(a_i, acc, l=p.l, bgbit=p.bgbit,
+                                      offset=p.offset)
+        else:
+            acc2 = tlwe.mul_by_xai_minus_one(a_i, acc)
+            digits = decompose_tlwe(acc2, p)
+        acc = eng.accumulate_into(acc, digits, prep_i)
         return acc, None
 
     acc, _ = lax.scan(step, acc, (bk_prepared, jnp.moveaxis(abar, -1, 0)),

@@ -135,6 +135,46 @@ def gate_bootstrap_variances(p: GateParams) -> GateNoise:
     )
 
 
+def key_truncation_variance(p: GateParams) -> float:
+    """Extra per-bootstrap output variance from TGswParams.key_limbs — the
+    bootstrapping key mod-switched AT KEYGEN to the 2^(bits-8*key_limbs)
+    lattice (tlwe.encrypt_zero coarse_bits).
+
+    Rounding b onto the coarse lattice adds uniform +-2^(coarse-1) phase
+    noise per sample, which propagates exactly like bootstrapping-key noise:
+      var = n0 * (k+1) * l * N * beta^2 * Var(round)      (tbk1 structure,
+                                                           params-gb.html:72)
+
+    NOTE truncating an already-generated key instead puts the rounding
+    error on the mask, where the phase convolves it with the ring key —
+    a (1+kN)x amplification that measured 2^-5.2 rms through a full blind
+    rotation (vs 2^-9.7 for the keygen-lattice scheme's decomp tail).
+    engine.py therefore relies on keys being lattice-generated; its limb
+    rounding is then exact."""
+    t = p.tgsw
+    bits = t.tlwe.bits
+    full = -(-bits // 8)
+    limbs = t.key_limbs or full
+    coarse = max(0, bits - 8 * limbs)
+    if coarse == 0:
+        return 0.0
+    var_round = (2.0 ** (coarse - bits)) ** 2 / 12.0
+    beta2 = 2.0 ** (2 * (t.bgbit - 1))
+    return p.lwe.n * (t.tlwe.k + 1) * t.l * t.tlwe.N * beta2 * var_round
+
+
+def nussbaumer_fold_variance(p: GateParams) -> float:
+    """Extra per-bootstrap output variance from the Nussbaumer engine's
+    1/2m scale fold (ops/nussbaumer.py): key coefficients are pre-divided by
+    2m with rounding, eps = k - 2m*round(k/2m) uniform in +-m absolute."""
+    from tfhe_tpu.ops.nussbaumer import split_mr
+    t = p.tgsw
+    m, _ = split_mr(t.tlwe.N)
+    var_eps = ((2 * m) ** 2 / 12.0) * (2.0 ** -t.tlwe.bits) ** 2
+    var_digit = (2.0 ** t.bgbit) ** 2 / 12.0
+    return p.lwe.n * (t.tlwe.k + 1) * t.l * t.tlwe.N * var_digit * var_eps
+
+
 def shared_rotation_penalty(p: CircuitParams) -> float:
     """TRGSW-row variance growth from reusing ONE blind rotation for all
     ell1 levels (tfhe_tpu.boot.circuit): the w=0 sample is the w=ell1-1

@@ -63,6 +63,8 @@ class EngineConfig:
     digit_bits: int        # log2 bound on the varying operand's magnitude
     key_bits: int = 0      # width of the fixed operand (0 -> out_bits)
     limb_bits: int = 8     # key limb width
+    key_limbs: int = 0     # 0 = exact; else truncate the key to this many
+                           # limbs (round-to-nearest on the dropped low bits)
 
     @property
     def kbits(self) -> int:
@@ -70,7 +72,23 @@ class EngineConfig:
 
     @property
     def num_limbs(self) -> int:
-        return -(-self.kbits // self.limb_bits)
+        full = -(-self.kbits // self.limb_bits)
+        if self.key_limbs:
+            assert 0 < self.key_limbs <= full
+            return self.key_limbs
+        return full
+
+    @property
+    def key_shift(self) -> int:
+        """Bits dropped (with rounding) from the key before limb splitting.
+
+        Truncation error per key coefficient is uniform +-2^(key_shift-1),
+        which enters the external product exactly like bootstrapping-key
+        noise of stdev 2^(key_shift-1)/(sqrt(3)*2^kbits) — see
+        noise.py:key_truncation_variance.  key_shift=8 (L=3 on torus32)
+        adds <10% to the gate-bootstrap tbk1 budget while cutting the MXU
+        work by 25%."""
+        return max(0, self.kbits - self.num_limbs * self.limb_bits)
 
     @property
     def plane_split(self):
@@ -107,7 +125,8 @@ def _recombine(cfg: EngineConfig, acc_planes):
     for p in range(np_):
         limbed = jnp.moveaxis(acc_planes[p], -2, 0)      # (L, ..., U, N)
         v = T.recombine_limbs(limbed, cfg.limb_bits, out_dt)
-        v = v << (pb * p) if p else v
+        sh = pb * p + cfg.key_shift
+        v = v << sh if sh else v
         out = v if out is None else out + v
     return out
 
@@ -116,12 +135,40 @@ def _key_limbs_doubled(cfg: EngineConfig, key_polys):
     """Balanced limbs of [key, -key]: (L, J, U, 2N) int8.
 
     Negation happens in the torus domain BEFORE limb splitting (balanced
-    limbs don't negate elementwise at -128)."""
+    limbs don't negate elementwise at -128).  With key_limbs truncation the
+    key is first rounded to its top num_limbs*limb_bits bits (the rounded
+    value needs kbits-key_shift+1 bits, which L balanced limbs just cover)."""
+    s = cfg.key_shift
+    if s:
+        # round FIRST so the wrap half is exactly the negated rounded key;
+        # clamp the two extreme values (+-2^(kbits-s-1)) that would need an
+        # L+1-th balanced limb — an extra half-ulp of rounding error there.
+        wide = key_polys.astype(jnp.int64) + (1 << (s - 1))
+        lim = (1 << (cfg.kbits - s - 1)) - 1
+        key_polys = jnp.clip(wide >> s, -lim, lim).astype(
+            jnp.int32 if cfg.kbits <= 32 else jnp.int64)
     doubled = jnp.concatenate([key_polys, -key_polys], axis=-1)
     return T.balanced_limbs(doubled, cfg.num_limbs, cfg.limb_bits)
 
 
-class NaiveEngine:
+class _EngineBase:
+    """Shared contract: accumulate_into defaults to acc + accumulate; the
+    TPU matmul engines override it with the fused Pallas kernel."""
+
+    def accumulate_into(self, acc, x, prepared):
+        return acc + self.accumulate(x, prepared)
+
+    def _fused_path_ok(self, acc, x) -> bool:
+        """True when the fused Pallas kernel can serve this call: TPU
+        backend, 32-bit torus, single digit plane, batched rank-3 inputs."""
+        import jax as _jax
+        cfg = self.cfg
+        return (_jax.default_backend() == "tpu" and cfg.out_bits == 32
+                and cfg.kbits == 32 and cfg.plane_split[1] == 1
+                and acc.ndim == 3 and x.ndim == 3)
+
+
+class NaiveEngine(_EngineBase):
     """Exact O(N^2) einsum oracle in the torus dtype (CPU tests only)."""
 
     def __init__(self, cfg: EngineConfig):
@@ -138,11 +185,20 @@ class NaiveEngine:
         return jnp.einsum("...jt,juti->...ui", x, prepared["mat"].astype(dt))
 
 
-class MatmulEngine:
+class MatmulEngine(_EngineBase):
     """Dense negacyclic limb matrices; one int8 MXU matmul per plane."""
 
     def __init__(self, cfg: EngineConfig):
         self.cfg = cfg
+
+    def accumulate_into(self, acc, x, prepared):
+        if not self._fused_path_ok(acc, x):
+            return acc + self.accumulate(x, prepared)
+        from tfhe_tpu.ops.pallas_kernels import mm_recombine_acc
+        cfg = self.cfg
+        flat = _digit_planes(cfg, x)[0].reshape(x.shape[0], -1)
+        return mm_recombine_acc(flat, prepared["w"], acc,
+                                shift_base=cfg.key_shift)
 
     def prepare(self, key_polys):
         cfg = self.cfg
@@ -152,27 +208,30 @@ class MatmulEngine:
         limbs = _key_limbs_doubled(cfg, key_polys)        # (L,J,U,2N)
         idx = jnp.asarray((np.arange(N)[None, :] - np.arange(N)[:, None]) % (2 * N))
         mat = jnp.take(limbs, idx, axis=-1)               # (L,J,U,t,i)
-        w = jnp.transpose(mat, (1, 3, 2, 0, 4))           # (J,t,U,L,i)
-        return {"w": w.reshape(J * N, U * cfg.num_limbs * N)}
+        w = jnp.transpose(mat, (0, 1, 3, 2, 4))           # (L,J,t,U,i)
+        return {"w": w.reshape(cfg.num_limbs, J * N, U * N)}
 
     def accumulate(self, x, prepared):
         cfg = self.cfg
         w = prepared["w"]
-        N, L = cfg.N, cfg.num_limbs
-        J = w.shape[0] // N
-        U = w.shape[1] // (L * N)
+        L, JN, UN = w.shape
+        N = cfg.N
+        J, U = JN // N, UN // N
         planes = _digit_planes(cfg, x)                    # (P, ..., J, N)
         lead = planes.shape[1:-2]
-        flat = planes.reshape(planes.shape[0], -1, J * N)
+        flat = planes.reshape(planes.shape[0], -1, JN)
         outs = []
         for p in range(flat.shape[0]):
-            y = lax.dot_general(flat[p], w, (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.int32)
+            ys = [lax.dot_general(flat[p], w[l], (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+                  for l in range(L)]
+            y = jnp.stack(ys, axis=-2)                    # (B, L, U*N)
+            y = jnp.moveaxis(y.reshape(-1, L, U, N), -3, -2)
             outs.append(y.reshape(*lead, U, L, N))
         return _recombine(cfg, jnp.stack(outs))
 
 
-class ConvEngine:
+class ConvEngine(_EngineBase):
     """Doubled-coefficient kernels via lax.conv_general_dilated.
 
     out[..., u, i] = sum_j sum_t x[..., j, t] * e_ju[i - t]
@@ -236,7 +295,7 @@ class ConvEngine:
         return _recombine(cfg, jnp.stack(outs))
 
 
-class OnTheFlyMatmulEngine:
+class OnTheFlyMatmulEngine(_EngineBase):
     """Keys stored as O(N) doubled-limb vectors; each accumulate call
     materializes the negacyclic matrices with a tile/reshape stride trick
     (contiguous copies only — no gathers) and runs the same int8 MXU matmul
@@ -272,6 +331,17 @@ class OnTheFlyMatmulEngine:
         t = jnp.tile(v, (1, 1, 1, N))[..., : N * (2 * N - 1)]
         return t.reshape(*v.shape[:-1], N, 2 * N - 1)[..., :N]
 
+    def accumulate_into(self, acc, x, prepared):
+        if not self._fused_path_ok(acc, x):
+            return acc + self.accumulate(x, prepared)
+        from tfhe_tpu.ops.pallas_kernels import materialize_w, mm_recombine_acc
+        cfg = self.cfg
+        v = prepared["v"]
+        J = v.shape[1]
+        w = materialize_w(v)                                # (L, J*N, U*N)
+        flat = _digit_planes(cfg, x)[0].reshape(x.shape[0], J * cfg.N)
+        return mm_recombine_acc(flat, w, acc, shift_base=cfg.key_shift)
+
     def accumulate(self, x, prepared):
         import jax as _jax
         cfg = self.cfg
@@ -283,12 +353,15 @@ class OnTheFlyMatmulEngine:
         if _jax.default_backend() == "tpu":
             # Pallas Toeplitz materialization straight into matmul layout
             from tfhe_tpu.ops.pallas_kernels import materialize_w
-            w = materialize_w(v)                            # (J*N, U*L*N)
+            w = materialize_w(v)                            # (L, J*N, U*N)
             flat = planes.reshape(planes.shape[0], -1, J * N)
             outs = []
             for p in range(flat.shape[0]):
-                y = lax.dot_general(flat[p], w, (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.int32)
+                ys = [lax.dot_general(flat[p], w[l], (((1,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.int32)
+                      for l in range(L)]
+                y = jnp.stack(ys, axis=-2)                  # (B, L, U*N)
+                y = jnp.moveaxis(y.reshape(-1, L, U, N), -3, -2)
                 outs.append(y.reshape(*lead, U, L, N))
             return _recombine(cfg, jnp.stack(outs))
         m = self._materialize(v)                            # (L,J,U,t,i)

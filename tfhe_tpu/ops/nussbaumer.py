@@ -47,7 +47,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from tfhe_tpu import torus as T
-from tfhe_tpu.ops.engine import EngineConfig, _torus_dtype
+from tfhe_tpu.ops.engine import EngineConfig, _EngineBase, _torus_dtype
 
 
 def split_mr(N: int) -> tuple[int, int]:
@@ -114,7 +114,7 @@ def _fold_planes(bound: int, plane_bits: int = 7) -> int:
     return planes
 
 
-class NussbaumerEngine:
+class NussbaumerEngine(_EngineBase):
     """Sub-quadratic exact-integer negacyclic engine (see module docstring)."""
 
     def __init__(self, cfg: EngineConfig):

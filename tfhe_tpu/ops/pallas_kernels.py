@@ -32,30 +32,42 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _make_materialize_kernel(J, UL, nsub, rows, N):
-    def kernel(v_ref, out_ref, scratch, sem):
+def _make_materialize_kernel(J, U, L, nsub, rows, N):
+    def kernel(v_ref, out_ref, scratch0, scratch1, sem):
         twoN = v_ref.shape[-1]
-        for j in range(J):
-            for c in range(UL):
-                for r in range(nsub):
-                    v = v_ref[j * UL + c, r, :].astype(jnp.int32)[None, :]
-                    block = jnp.broadcast_to(v, (rows, twoN))
-                    rolled = pltpu.roll(block, jnp.int32(0), axis=1,
-                                        stride=1, stride_axis=0)
-                    scratch[:, :] = rolled[:, :N].astype(jnp.int8)
-                    copy = pltpu.make_async_copy(
-                        scratch,
-                        out_ref.at[pl.ds(j * N + r * rows, rows),
-                                   pl.ds(c * N, N)],
-                        sem)
-                    copy.start()
-                    copy.wait()
+        scratches = (scratch0, scratch1)
+        blocks = [(j, u, l, r) for j in range(J) for u in range(U)
+                  for l in range(L) for r in range(nsub)]
+        copies = []
+        for q, (j, u, l, r) in enumerate(blocks):
+            buf = q % 2
+            if q >= 2:
+                copies[q - 2].wait()      # scratch[buf] free again
+            v = v_ref[(j * U + u) * L + l, r, :]
+            v = v.astype(jnp.int32)[None, :]
+            block = jnp.broadcast_to(v, (rows, twoN))
+            rolled = pltpu.roll(block, jnp.int32(0), axis=1,
+                                stride=1, stride_axis=0)
+            scratches[buf][:, :] = rolled[:, :N].astype(jnp.int8)
+            copy = pltpu.make_async_copy(
+                scratches[buf],
+                out_ref.at[jnp.int32(l),  # python int = i64 in x64 mode
+                           pl.ds(j * N + r * rows, rows),
+                           pl.ds(u * N, N)],
+                sem.at[jnp.int32(buf)])
+            copy.start()
+            copies.append(copy)
+        for copy in copies[-2:]:
+            copy.wait()
     return kernel
 
 
 def materialize_w(v, *, rows: int = 256, interpret: bool = False):
     """v: (L, J, U, 2N) int8 doubled limb vectors ->
-    W: (J*N, U*L*N) int8 with W[(j,t),(u,l,i)] = v[l,j,u,(i-t) mod 2N]."""
+    W: (L, J*N, U*N) int8 with W[l, (j,t), (u,i)] = v[l,j,u,(i-t) mod 2N].
+
+    The limb-major layout lets consumers take clean 3D VMEM blocks
+    (L, tk, tn) — Pallas stages 4D mixed blocks whole, which OOMs VMEM."""
     L, J, U, twoN = v.shape
     N = twoN // 2
     rows = min(rows, N)
@@ -67,14 +79,15 @@ def materialize_w(v, *, rows: int = 256, interpret: bool = False):
     vv = jnp.stack([jnp.roll(base, r * rows, axis=-1) for r in range(nsub)],
                    axis=1)                                  # (JUL, nsub, 2N)
 
-    kernel = _make_materialize_kernel(J, U * L, nsub, rows, N)
+    kernel = _make_materialize_kernel(J, U, L, nsub, rows, N)
     return pl.pallas_call(
         kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
-        out_shape=jax.ShapeDtypeStruct((J * N, U * L * N), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((L, J * N, U * N), jnp.int8),
         scratch_shapes=[pltpu.VMEM((rows, N), jnp.int8),
-                        pltpu.SemaphoreType.DMA],
+                        pltpu.VMEM((rows, N), jnp.int8),
+                        pltpu.SemaphoreType.DMA((2,))],
         interpret=interpret,
     )(vv)
 
@@ -82,3 +95,148 @@ def materialize_w(v, *, rows: int = 256, interpret: bool = False):
 @functools.cache
 def _on_tpu() -> bool:
     return jax.default_backend() == "tpu"
+
+
+# ---------------------------------------------------------------------------
+# Fused external-product matmul: int8 MXU contraction + limb recombination +
+# accumulator add in one kernel.
+#
+# Motivation (measured on v5e): XLA's int8 dot_general sustains ~200 TOP/s —
+# the bf16 rate — while a hand-tiled Pallas matmul reaches ~412 TOP/s, the
+# full int8 MXU throughput (tools/pallas_mm_tune.py).  Fusing the limb
+# recombination (sum_l y_l << (8l + shift)) and the CMux `acc +=` epilogue
+# into the k-loop also removes the (B, U, L, N) int32 intermediate that
+# otherwise round-trips HBM every blind-rotation step.
+#
+# All arithmetic is exact mod 2^32: int8 x int8 products accumulate in
+# int32 (bounded by K * 2^14 < 2^31 for K <= 2^16), and the limb shifts /
+# adds wrap natively.
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Fused (X^a - 1) rotation + gadget decomposition.
+#
+# XLA executes the 11 bit-gated negacyclic rolls of mul_by_xai as separate
+# HBM passes over the (B, k+1, N) accumulator (~1.35 ms/step at B=4096);
+# here the accumulator tile is read once, all roll stages and the
+# decomposition run in VMEM, and the int8 digit rows stream out (~16 MB).
+# ---------------------------------------------------------------------------
+
+def _rotdec_kernel(N, kp1, l, bgbit, offset, nbits):
+    half = 1 << (bgbit - 1)
+    mask = (1 << bgbit) - 1
+
+    def kernel(a_ref, acc_ref, out_ref):
+        a = a_ref[:]                                   # (tb2, 1) int32
+        x = acc_ref[:]                                 # (tb2, N) int32 rows
+        orig = x
+        lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+        for w in range(nbits):
+            r = 1 << w
+            if r < N:
+                rolled = pltpu.roll(x, jnp.int32(r), axis=1)
+                neg = jnp.where(lane < r, -rolled, rolled)
+            else:                                      # X^N = -1
+                neg = -x
+            bit = ((a >> w) & 1) > 0                   # (tb2, 1)
+            x = jnp.where(bit, neg, x)
+        u = (x - orig).astype(jnp.uint32) + jnp.uint32(offset)
+        for i in range(l):
+            s = 32 - (i + 1) * bgbit
+            d = ((u >> jnp.uint32(s)) & jnp.uint32(mask)).astype(jnp.int32) - half
+            out_ref[:, i, :] = d.astype(jnp.int8)
+    return kernel
+
+
+def rotate_decompose(a, acc, *, l: int, bgbit: int, offset: int,
+                     tb: int = 256):
+    """digits of (X^a - 1) * acc for a 32-bit TRLWE accumulator batch.
+
+    a: (B,) int32 exponents in [0, 2N); acc: (B, k+1, N) int32.
+    Returns (B, (k+1)*l, N) int8 gadget digits, row-major (bloc, level) —
+    decompose_tlwe(mul_by_xai_minus_one(a, acc)) fused into one pass.
+
+    Layout: the batch and polynomial axes fold into one sublane-rich row
+    axis of (B*(k+1), N) — each row rolls by its own exponent (rows of one
+    sample share it), so the VPU sees full (8,128) tiles instead of
+    kp1-sublane slivers.  The (B*(k+1), l, N) digit layout is byte-identical
+    to the (B, (k+1)*l, N) row-major (bloc, level) order decompose_tlwe
+    produces."""
+    B, kp1, N = acc.shape
+    tb = min(tb, B * kp1)
+    assert (B * kp1) % tb == 0
+    nbits = (2 * N - 1).bit_length()
+    a2 = jnp.repeat(a.astype(jnp.int32), kp1)[:, None]     # (B*kp1, 1)
+    out = pl.pallas_call(
+        _rotdec_kernel(N, kp1, l, bgbit, offset, nbits),
+        grid=(B * kp1 // tb,),
+        in_specs=[  # i - i: typed zero (literal 0 is i64 under x64)
+            pl.BlockSpec((tb, 1), lambda i: (i, i - i)),
+            pl.BlockSpec((tb, N), lambda i: (i, i - i)),
+        ],
+        out_specs=pl.BlockSpec((tb, l, N), lambda i: (i, i - i, i - i)),
+        out_shape=jax.ShapeDtypeStruct((B * kp1, l, N), jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+    )(a2, acc.reshape(B * kp1, N))
+    return out.reshape(B, kp1 * l, N)
+
+
+def _mm_recombine_kernel(L, shift_base, nk):
+    def kernel(x_ref, w_ref, accin_ref, out_ref, scratch):
+        k = pl.program_id(2)
+
+        @pl.when(k == 0)
+        def _():
+            scratch[:] = accin_ref[:]
+
+        part = scratch[:]
+        for l in range(L):
+            y = jnp.dot(x_ref[:], w_ref[l],
+                        preferred_element_type=jnp.int32)
+            sh = 8 * l + shift_base
+            part = part + (y << sh if sh else y)
+        scratch[:] = part
+
+        @pl.when(k == nk - 1)
+        def _():
+            out_ref[:] = scratch[:]
+    return kernel
+
+
+def mm_recombine_acc(x, w, acc_in, *, shift_base: int = 0,
+                     tm: int = 1024, tn: int = 512, tk: int = 512):
+    """acc_in + recombine_limbs(x @ w) with everything fused.
+
+    x:      (B, K) int8 digit planes (K = J*N)
+    w:      (L, K, U*N) int8 key limb matrices (materialize_w layout)
+    acc_in: (B, U, N) int32 (or (B, U*N))
+    Returns (B, U, N) int32:
+        acc_in[b,u,i] + sum_l (x @ w[l])[b, u*N+i] << (8l + shift_base).
+    """
+    B, K = x.shape
+    L, Kw, UN = w.shape
+    assert K == Kw
+    lead_shape = acc_in.shape
+    N = lead_shape[-1] if acc_in.ndim == 3 else UN
+    U = UN // N
+    tm = min(tm, B)
+    tn = min(tn, UN)
+    tk = min(tk, K)
+    assert B % tm == 0 and UN % tn == 0 and K % tk == 0
+    grid = (B // tm, UN // tn, K // tk)
+    out = pl.pallas_call(
+        _mm_recombine_kernel(L, shift_base, K // tk),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, tk), lambda i, j, k: (i, k)),
+            pl.BlockSpec((L, tk, tn), lambda i, j, k: (i - i, k, j)),
+            pl.BlockSpec((tm, tn), lambda i, j, k: (i, j)),
+        ],
+        out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((B, UN), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((tm, tn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+    )(x, w, acc_in.reshape(B, UN))
+    return out.reshape(lead_shape)

@@ -65,6 +65,12 @@ class TGswParams:
     l: int
     bgbit: int
     tlwe: TLweParams
+    # Engine knob with a noise budget: keep only this many 8-bit key limbs
+    # in the MXU contraction (0 = exact).  key_limbs=3 on a 32-bit torus
+    # rounds key coefficients to their top 24 bits — equivalent extra key
+    # noise of stdev 2^-25.6 (noise.py:key_truncation_variance), cutting the
+    # external-product MAC count by 25%.
+    key_limbs: int = 0
 
     @property
     def bg(self) -> int:
@@ -236,6 +242,17 @@ GATE_FAST = GateParams(
     lwe=LweParams(n=500, stdev=2.0**-14),
     tgsw=TGswParams(l=3, bgbit=7, tlwe=TLweParams(N=1024, k=1, stdev=2.0**-25, bits=32)),
     ks=KeySwitchParams(t=8, basebit=2, stdev=2.0**-14),
+)
+
+# GATE_DEFAULT with the MXU key-truncation knob: bootstrapping-key
+# coefficients rounded to their top 24 bits (3 int8 limbs).  Equivalent key
+# noise stdev 2^-25.6 — under the 2^-25 fresh bk noise itself — for 25%
+# fewer external-product MACs (see TGswParams.key_limbs).
+GATE_MXU = GateParams(
+    lwe=LweParams(n=630, stdev=2.0**-15),
+    tgsw=TGswParams(l=3, bgbit=7, key_limbs=3,
+                    tlwe=TLweParams(N=1024, k=1, stdev=2.0**-25, bits=32)),
+    ks=KeySwitchParams(t=8, basebit=2, stdev=2.0**-15),
 )
 
 # Tiny sets for CPU unit tests: cryptographically meaningless, numerically

@@ -21,7 +21,8 @@ from tfhe_tpu.ops.engine import EngineConfig, make_engine
 
 
 def engine_config(p: TGswParams) -> EngineConfig:
-    return EngineConfig(N=p.tlwe.N, out_bits=p.tlwe.bits, digit_bits=p.bgbit)
+    return EngineConfig(N=p.tlwe.N, out_bits=p.tlwe.bits, digit_bits=p.bgbit,
+                        key_limbs=p.key_limbs)
 
 
 def encrypt(key: tlwe_mod.TLweKey, messages, p: TGswParams, rng: TfheRng,
@@ -30,11 +31,22 @@ def encrypt(key: tlwe_mod.TLweKey, messages, p: TGswParams, rng: TfheRng,
     (tGsw64Encrypt poc:215-227; tGswSymEncrypt tgsw_functions.cpp).
 
     messages: (...,) small ints.  Returns (..., k+1, l, k+1, N).
+
+    With p.key_limbs set, rows are generated on the coarse lattice
+    (tlwe.encrypt_zero coarse_bits) so the engines' limb truncation is
+    EXACT; the gadget entries h_i = 2^(bits-(i+1)bgbit) are multiples of
+    the lattice spacing whenever coarse <= bits - l*bgbit (asserted).
     """
     messages = jnp.asarray(messages)
     k, l, N = p.tlwe.k, p.l, p.tlwe.N
     dt = jnp.int32 if p.tlwe.bits == 32 else jnp.int64
-    c = tlwe_mod.encrypt_zero(key, rng, tuple(messages.shape) + (k + 1, l), stdev)
+    coarse = 0
+    if p.key_limbs:
+        coarse = p.tlwe.bits - 8 * p.key_limbs
+        assert coarse <= p.tlwe.bits - p.l * p.bgbit, (
+            "coarse lattice must contain the gadget entries")
+    c = tlwe_mod.encrypt_zero(key, rng, tuple(messages.shape) + (k + 1, l),
+                              stdev, coarse_bits=coarse)
     h = jnp.asarray(p.h, dt)                     # (l,)
     add = messages[..., None].astype(dt) * h     # (..., l)
     for bloc in range(k + 1):

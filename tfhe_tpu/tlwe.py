@@ -63,14 +63,36 @@ def _uniform(params: TLweParams, rng: TfheRng, shape):
     return rng.uniform32(shape) if params.bits == 32 else rng.uniform64(shape)
 
 
-def encrypt_zero(key: TLweKey, rng: TfheRng, batch_shape=(), stdev=None):
+def encrypt_zero(key: TLweKey, rng: TfheRng, batch_shape=(), stdev=None,
+                 coarse_bits: int = 0):
     """TLWE(0): b = e + sum s_i (*) a_i (tLweSymEncryptZero,
-    tlwe_functions.cpp:60-73).  Returns (..., k+1, N)."""
+    tlwe_functions.cpp:60-73).  Returns (..., k+1, N).
+
+    coarse_bits > 0 mod-switches the sample to the 2^(bits-coarse_bits)
+    lattice AT GENERATION: the mask is drawn from the coarse lattice and b
+    is rounded onto it, so every coefficient is an exact multiple of
+    2^coarse_bits.  This is the sound way to shrink key material (e.g. to 3
+    int8 limbs): rounding b costs uniform +-2^(coarse_bits-1) extra noise on
+    the PHASE only — unlike truncating a finished sample, whose mask error
+    re-enters the phase convolved with the secret key, a (1+kN)x variance
+    amplification (measured: 2^-5.2 vs 2^-9.7 rms through a 630-step blind
+    rotation).  Security is that of LWE at modulus 2^(bits-coarse_bits),
+    where the relative noise rate is 2^coarse_bits larger — e.g. the
+    standard gate-bootstrap key at coarse_bits=8 is n=1024 LWE with
+    alpha=2^-17 at q=2^24, far above the ~2^-31 minimum-noise curve
+    (misc/params.html:9-14)."""
     p = key.params
     stdev = p.stdev if stdev is None else stdev
     a = jnp.asarray(_uniform(p, rng, batch_shape + (p.k, p.N)))
     e = jnp.asarray(_noise(p, rng, batch_shape + (p.N,), stdev))
-    b = e + key.key_times(a)
+    if coarse_bits:
+        udt = jnp.uint32 if p.bits == 32 else jnp.uint64
+        a = ((a.astype(udt) >> coarse_bits) << coarse_bits).astype(a.dtype)
+        b = e + key.key_times(a)
+        half = 1 << (coarse_bits - 1)
+        b = (((b.astype(udt) + half) >> coarse_bits) << coarse_bits).astype(b.dtype)
+    else:
+        b = e + key.key_times(a)
     return jnp.concatenate([a, b[..., None, :]], axis=-2)
 
 
