@@ -34,14 +34,16 @@ def main():
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
 
-    from tfhe_tpu.params import (GATE_DEFAULT, GATE_FAST, GATE_MXU, GateParams,
-                                 LweParams, TGswParams, TLweParams, KeySwitchParams)
+    from tfhe_tpu.params import (GATE_DEFAULT, GATE_FAST, GATE_MXU, GATE_MXU2,
+                                 GateParams, LweParams, TGswParams, TLweParams,
+                                 KeySwitchParams)
     from tfhe_tpu.rng import TfheRng
     from tfhe_tpu.boot import gate
 
     if on_tpu:
         params = {"fast": GATE_FAST, "exact": GATE_DEFAULT,
-                  "default": GATE_MXU, "mxu": GATE_MXU}[
+                  "default": GATE_MXU2, "mxu": GATE_MXU,
+                  "mxu2": GATE_MXU2}[
                       os.environ.get("BENCH_PARAMS", "default")]
         batch = int(os.environ.get("BENCH_BATCH", 4096))
     else:

@@ -108,8 +108,12 @@ class GateNoise:
 
 
 def gate_bootstrap_variances(p: GateParams) -> GateNoise:
-    """Port of computeAll in misc/params-gb.html:49-113."""
+    """Port of computeAll in misc/params-gb.html:49-113, generalized from the
+    worksheet's hard-coded k=1 to any ring rank k: the (k+1) factor in tbk1,
+    (1+kN) in tbk2, and the extracted dimension kN in tks1/tks2."""
     n0, n1 = p.lwe.n, p.N
+    k = p.tgsw.tlwe.k
+    n_ext = p.tgsw.tlwe.extracted_n          # k*N, dimension after extract
     critical_variance = 2.0**-11.4
     tmodswitch = (n0 + 1) / (3.0 * 16 * n1 * n1)
     max_bootstrappable = critical_variance - tmodswitch
@@ -119,10 +123,10 @@ def gate_bootstrap_variances(p: GateParams) -> GateNoise:
     eps = 2.0 ** (-(l1 * bg1 + 1))
     bk_var = p.tgsw.tlwe.stdev**2
     ks_var = p.ks.stdev**2
-    tbk1 = n0 * 2 * l1 * n1 * beta * beta * bk_var
-    tbk2 = n0 * (1 + n1) * eps * eps
-    tks2 = n1 * 2.0 ** (-2 * (p.ks.t * p.ks.basebit + 1))
-    tks1 = n1 * p.ks.t * ks_var
+    tbk1 = n0 * (k + 1) * l1 * n1 * beta * beta * bk_var
+    tbk2 = n0 * (1 + k * n1) * eps * eps
+    tks2 = n_ext * 2.0 ** (-2 * (p.ks.t * p.ks.basebit + 1))
+    tks1 = n_ext * p.ks.t * ks_var
     finalvar = tbk1 + tbk2 + tks1 + tks2
     return GateNoise(
         tmodswitch=tmodswitch,

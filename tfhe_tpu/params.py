@@ -255,6 +255,21 @@ GATE_MXU = GateParams(
     ks=KeySwitchParams(t=8, basebit=2, stdev=2.0**-15),
 )
 
+# MXU-shaped set exploiting the matmul engine's (k+1)^2*N^2 cost scaling at
+# fixed security dimension k*N: k=2/N=512 has the same ring dimension (1024)
+# and key noise as GATE_MXU's k=1/N=1024 — hence the same lattice security —
+# but 1.78x fewer external-product MACs ((1024+512)^2 vs (1024+1024)^2).
+# The price is mod-switch granularity 2N=1024: tmodswitch rises to 2^-14.3,
+# still inside the gate budget (noise.gate_bootstrap_variances: worst-case
+# gate error < 2^-80).  Gadget stays l=3/Bg=2^7 (see the GATE_FAST note:
+# l*bgbit >= 21 is required empirically on torus32).
+GATE_MXU2 = GateParams(
+    lwe=LweParams(n=630, stdev=2.0**-15),
+    tgsw=TGswParams(l=3, bgbit=7, key_limbs=3,
+                    tlwe=TLweParams(N=512, k=2, stdev=2.0**-25, bits=32)),
+    ks=KeySwitchParams(t=8, basebit=2, stdev=2.0**-15),
+)
+
 # Tiny sets for CPU unit tests: cryptographically meaningless, numerically
 # well-conditioned (noise-free or near noise-free) so decryption is exact.
 GATE_TOY = GateParams(
