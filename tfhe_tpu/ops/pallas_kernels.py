@@ -149,7 +149,7 @@ def _rotdec_kernel(N, kp1, l, bgbit, offset, nbits):
 
 
 def rotate_decompose(a, acc, *, l: int, bgbit: int, offset: int,
-                     tb: int = 256):
+                     tb: int = 512):
     """digits of (X^a - 1) * acc for a 32-bit TRLWE accumulator batch.
 
     a: (B,) int32 exponents in [0, 2N); acc: (B, k+1, N) int32.
@@ -180,6 +180,190 @@ def rotate_decompose(a, acc, *, l: int, bgbit: int, offset: int,
             dimension_semantics=("parallel",)),
     )(a2, acc.reshape(B * kp1, N))
     return out.reshape(B, kp1 * l, N)
+
+
+# ---------------------------------------------------------------------------
+# Fully fused CMux step: rotation + decomposition + limb matmul + recombine +
+# accumulator add in ONE kernel, with the VPU work (rolls / digit extraction
+# for the NEXT polynomial) software-pipelined against the MXU dots of the
+# current one.
+#
+# Motivation (measured, GATE_MXU2 shapes, B=4096): as separate kernels the
+# rotate/decompose costs ~440 us and the matmul ~510 us per blind-rotation
+# step — the TensorCore runs them serially.  Inside one kernel Mosaic can
+# interleave the independent VPU and MXU instruction streams, so the step
+# approaches max(VPU, MXU) instead of their sum.
+#
+# Schedule: grid (i, k, j) = (batch tile, digit chunk = (in-poly u, level),
+# output poly).  The window of l*(k+1) blocks that dots poly u's digit chunks
+# also executes, spread one-or-two "units" per block, the rotation pipeline
+# (seed, 9 cyclic rolls, sign fixup, l digit extractions) of poly u+1 — and,
+# on the last window of a tile, of the NEXT tile's poly 0 (its accumulator
+# rows and exponents are streamed in as a second, +1-shifted input).  Digit
+# chunks live in two VMEM buffers ping-ponged by global poly parity, so the
+# dot of poly g and the extraction of poly g+1 touch different refs and
+# Mosaic sees no false dependency.
+# ---------------------------------------------------------------------------
+
+
+def _fused_cmux_kernel(N, kp1, l, L, bgbit, offset, key_shift, nb,
+                       skip_vpu=False):
+    J = kp1 * l
+    nbits = (N - 1).bit_length()               # cyclic-roll stages (mod N)
+    half = 1 << (bgbit - 1)
+    dmask = (1 << bgbit) - 1
+    slots = l * kp1                            # blocks per poly window
+    n_units = 1 + nbits + 1 + l                # seed, rolls, sign, extracts
+    unit_slot = [min(q * slots // n_units, slots - 1) for q in range(n_units)]
+
+    def kernel(acur_ref, anext_ref, acc_ref, accn_ref, w_ref, out_ref,
+               rot_ref, orig_ref, arot_ref, dig0_ref, dig1_ref):
+        i = pl.program_id(0)
+        k = pl.program_id(1)
+        j = pl.program_id(2)
+        u = jax.lax.div(k, jnp.int32(l))       # k // l without an i64 const
+        kl = k - u * l                         # level within the chunk
+        g = i * kp1 + u                        # global poly counter
+        p = kl * kp1 + j                       # slot within poly-u's window
+
+        digs = (dig0_ref, dig1_ref)
+
+        def unit_seed(next_tile):
+            # stage the rotation source: poly (u+1) of this tile, or poly 0
+            # of the next tile (clamped at the end; the waste is never read)
+            if next_tile:
+                src = accn_ref[:, pl.ds(0, N)]
+                arot_ref[:, :] = anext_ref[:]
+            else:
+                tgt = u + 1    # only called when u < kp1-1
+                src = acc_ref[:, pl.ds(tgt * N, N)]
+                arot_ref[:, :] = acur_ref[:]
+            orig_ref[:, :] = src
+            rot_ref[:, :] = src
+
+        def unit_roll(w):
+            r = 1 << w
+            rolled = pltpu.roll(rot_ref[:], jnp.int32(r), axis=1)
+            bit = ((arot_ref[:] >> w) & 1) > 0
+            rot_ref[:, :] = jnp.where(bit, rolled, rot_ref[:])
+
+        def unit_sign():
+            x = rot_ref[:]
+            aN = arot_ref[:] & jnp.int32(N - 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+            hi = (arot_ref[:] >> jnp.int32(nbits)) & 1
+            neg = (lane < aN).astype(jnp.int32) ^ hi
+            rot_ref[:, :] = jnp.where(neg > 0, -x, x)
+
+        def unit_extract(lv, wbuf):
+            d32 = (rot_ref[:] - orig_ref[:]).astype(jnp.uint32) + jnp.uint32(offset)
+            s = 32 - (lv + 1) * bgbit
+            d = ((d32 >> jnp.uint32(s)) & jnp.uint32(dmask)).astype(jnp.int32) - half
+            wbuf[:, pl.ds(lv * N, N)] = d.astype(jnp.int8)
+
+        def run_unit(q, wbuf, next_tile):
+            if q == 0:
+                unit_seed(next_tile)
+            elif q <= nbits:
+                unit_roll(q - 1)
+            elif q == nbits + 1:
+                unit_sign()
+            else:
+                unit_extract(q - nbits - 2, wbuf)
+
+        if skip_vpu:                      # timing probe: MXU path only
+            i, k, j, u, kl, g, p = i, k, j, u, kl, g, p
+        # ----- prologue: tile 0 / poly 0 built in full before the first dot
+        @pl.when((jnp.int32(0 if not skip_vpu else 1) == 0)
+                 & (i == 0) & (k == 0) & (j == 0))
+        def _():
+            orig_ref[:, :] = acc_ref[:, pl.ds(0, N)]
+            rot_ref[:, :] = acc_ref[:, pl.ds(0, N)]
+            arot_ref[:, :] = acur_ref[:]
+            for w in range(nbits):
+                unit_roll(w)
+            unit_sign()
+            for lv in range(l):
+                unit_extract(lv, dig0_ref)
+
+        # ----- pipelined units for poly g+1 (ping-pong write buffer)
+        for wb in range(2 if not skip_vpu else 0):
+            wbuf = digs[wb]
+            for nxt in range(2):
+                @pl.when((((g + 1) & 1) == wb)
+                         & ((u == kp1 - 1) == (nxt == 1)))
+                def _(wb=wb, nxt=nxt, wbuf=wbuf):
+                    for ps in range(slots):
+                        @pl.when(p == ps)
+                        def _(ps=ps, wbuf=wbuf, nxt=nxt):
+                            for q in range(n_units):
+                                if unit_slot[q] == ps:
+                                    run_unit(q, wbuf, next_tile=(nxt == 1))
+
+        # ----- MXU: dot this chunk against all key limbs, recombine, add
+        for rb in range(2):
+            @pl.when((g & 1) == rb)
+            def _(rb=rb):
+                x = digs[rb][:, pl.ds(kl * N, N)]
+                part = None
+                for lm in range(L):
+                    y = jnp.dot(x, w_ref[lm], preferred_element_type=jnp.int32)
+                    sh = 8 * lm + key_shift
+                    y = y << sh if sh else y
+                    part = y if part is None else part + y
+                js = pl.ds(j * N, N)
+
+                @pl.when(k == 0)
+                def _():
+                    out_ref[:, js] = acc_ref[:, js] + part
+
+                @pl.when(k != 0)
+                def _():
+                    out_ref[:, js] = out_ref[:, js] + part
+    return kernel
+
+
+def fused_cmux_step(a, acc, w, *, l: int, bgbit: int, offset: int,
+                    key_shift: int = 0, tm: int = 256, _skip_vpu: bool = False):
+    """One blind-rotation step, fully fused:
+
+        out = acc + recombine(decompose((X^a - 1) * acc) @ w)
+
+    a:   (B,) int32 exponents in [0, 2N)
+    acc: (B, k+1, N) int32 TRLWE accumulator batch
+    w:   (L, (k+1)*l*N, (k+1)*N) int8 key limb matrices (materialize_w layout)
+    Returns (B, k+1, N) int32.
+    """
+    B, kp1, N = acc.shape
+    L, K, UN = w.shape
+    J = kp1 * l
+    assert K == J * N and UN == kp1 * N and B % tm == 0
+    nb = B // tm
+    a2 = a.astype(jnp.int32)[:, None]
+    out = pl.pallas_call(
+        _fused_cmux_kernel(N, kp1, l, L, bgbit, offset, key_shift, nb,
+                           skip_vpu=_skip_vpu),
+        grid=(nb, J, kp1),
+        in_specs=[  # i - i: typed zero (literal 0 is i64 under x64)
+            pl.BlockSpec((tm, 1), lambda i, k, j: (i, i - i)),
+            pl.BlockSpec((tm, 1), lambda i, k, j: (jnp.minimum(i + 1, nb - 1), i - i)),
+            pl.BlockSpec((tm, kp1 * N), lambda i, k, j: (i, i - i)),
+            pl.BlockSpec((tm, kp1 * N), lambda i, k, j: (jnp.minimum(i + 1, nb - 1), i - i)),
+            pl.BlockSpec((L, N, N), lambda i, k, j: (i - i, k, j)),
+        ],
+        out_specs=pl.BlockSpec((tm, kp1 * N), lambda i, k, j: (i, i - i)),
+        out_shape=jax.ShapeDtypeStruct((B, kp1 * N), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((tm, N), jnp.int32),      # rot
+            pltpu.VMEM((tm, N), jnp.int32),      # orig
+            pltpu.VMEM((tm, 1), jnp.int32),      # arot
+            pltpu.VMEM((tm, l * N), jnp.int8),   # dig ping
+            pltpu.VMEM((tm, l * N), jnp.int8),   # dig pong
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+    )(a2, a2, acc.reshape(B, kp1 * N), acc.reshape(B, kp1 * N), w)
+    return out.reshape(B, kp1, N)
 
 
 def _mm_recombine_kernel(L, shift_base, nk):

@@ -9,14 +9,14 @@ import jax.numpy as jnp
 from jax import lax
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from tfhe_tpu.params import GATE_MXU
+from tfhe_tpu.params import GATE_MXU, GATE_MXU2
 from tfhe_tpu import tgsw
 from tfhe_tpu.ops.engine import make_engine
 from tfhe_tpu.ops.pallas_kernels import (materialize_w, mm_recombine_acc,
                                          rotate_decompose)
 
 B = int(os.environ.get("B", 4096))
-p = GATE_MXU.tgsw
+p = (GATE_MXU2 if os.environ.get("P2") else GATE_MXU).tgsw
 N, k, l = p.tlwe.N, p.tlwe.k, p.l
 J = (k + 1) * l
 cfg = tgsw.engine_config(p)
