@@ -39,6 +39,62 @@ def _twist(N: int, dtype):
     return np.exp(1j * np.pi * np.arange(N) / N).astype(dtype)
 
 
+def spqlios_order(N: int):
+    """Map our natural-order evaluation vector onto the spqlios buffer order.
+
+    The reference FFT processor stores the N/2 complex evaluations of a real
+    negacyclic polynomial as double[N] = N/2 reals followed by N/2
+    imaginaries (fft_processor_spqlios.cpp:21-24), but in the butterfly
+    output order of the split-radix asm (spqlios-fft-impl.cpp:48-155):
+
+        slot[2t]   = hat(a)_{bitrev(t)}
+        slot[2t+1] = conj(hat(a)_{N/2-1-bitrev(t)})
+
+    with bitrev over log2(N/2) bits and hat(a)_k = sum_j a_j w^{(2k+1)j},
+    w = exp(i*pi/N) (our negacyclic_fft convention).  Verified to 2e-11
+    absolute against the compiled reference on N=2048 patterned fixtures
+    (tests/test_reference_vectors.py).
+
+    Returns (perm, conj): natural index feeding slot s is perm[s]; conj[s]
+    marks slots holding the conjugate.
+    """
+    half = N // 2
+    bits = half.bit_length() - 1
+    t = np.arange(half // 2)
+    br = np.zeros(half // 2, np.int64)
+    for b in range(bits):
+        br |= ((t >> b) & 1) << (bits - 1 - b)
+    perm = np.zeros(half, np.int64)
+    conj = np.zeros(half, bool)
+    perm[0::2] = br
+    perm[1::2] = half - 1 - br
+    conj[1::2] = True
+    return perm, conj
+
+
+def to_spqlios(hat):
+    """(..., N/2) complex natural-order evaluations -> (..., N) doubles in
+    the reference's buffer layout (re[N/2] ++ im[N/2], spqlios slot order)."""
+    hat = np.asarray(hat)
+    half = hat.shape[-1]
+    perm, conj = spqlios_order(2 * half)
+    v = hat[..., perm]
+    v = np.where(conj, np.conj(v), v)
+    return np.concatenate([v.real, v.imag], axis=-1)
+
+
+def from_spqlios(buf):
+    """Inverse of to_spqlios: (..., N) doubles -> (..., N/2) complex."""
+    buf = np.asarray(buf)
+    half = buf.shape[-1] // 2
+    v = buf[..., :half] + 1j * buf[..., half:]
+    perm, conj = spqlios_order(2 * half)
+    v = np.where(conj, np.conj(v), v)
+    out = np.empty_like(v)
+    out[..., perm] = v
+    return out
+
+
 def negacyclic_fft(a, precision: str = "auto"):
     """(..., N) real/int -> (..., N/2) complex evaluations at odd roots.
 
