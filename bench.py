@@ -34,7 +34,8 @@ def main():
     dev = jax.devices()[0]
     on_tpu = dev.platform == "tpu"
 
-    from tfhe_tpu.params import (GATE_DEFAULT, GATE_FAST, GATE_MXU, GATE_MXU2,
+    from tfhe_tpu.params import (GATE_DEFAULT, GATE_FAST, GATE_FAST2,
+                                 GATE_MXU, GATE_MXU2,
                                  GateParams, LweParams, TGswParams, TLweParams,
                                  KeySwitchParams)
     from tfhe_tpu.rng import TfheRng
@@ -42,8 +43,8 @@ def main():
 
     if on_tpu:
         params = {"fast": GATE_FAST, "exact": GATE_DEFAULT,
-                  "default": GATE_MXU2, "mxu": GATE_MXU,
-                  "mxu2": GATE_MXU2}[
+                  "default": GATE_FAST2, "mxu": GATE_MXU,
+                  "mxu2": GATE_MXU2, "fast2": GATE_FAST2}[
                       os.environ.get("BENCH_PARAMS", "default")]
         batch = int(os.environ.get("BENCH_BATCH", 4096))
     else:

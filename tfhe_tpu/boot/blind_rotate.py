@@ -51,6 +51,13 @@ def blind_rotate(acc, bk_prepared, abar, p: TGswParams, backend: str = "matmul",
 
     def step(acc, xs):
         prep_i, a_i = xs
+        # Whole CMux in one Pallas kernel (rotation pipelined under the
+        # MXU dots) when the engine supports this config; decision is
+        # static, so the scan body traces exactly one path.
+        fused = eng.cmux_step(a_i, acc, prep_i, l=p.l, bgbit=p.bgbit,
+                              offset=p.offset)
+        if fused is not None:
+            return fused, None
         if fused_rotdec:
             from tfhe_tpu.ops.pallas_kernels import rotate_decompose
             digits = rotate_decompose(a_i, acc, l=p.l, bgbit=p.bgbit,

@@ -167,6 +167,28 @@ class _EngineBase:
                 and cfg.kbits == 32 and cfg.plane_split[1] == 1
                 and acc.ndim == 3 and x.ndim == 3)
 
+    def cmux_step(self, a, acc, prepared, *, l: int, bgbit: int, offset: int,
+                  tm: int = 256):
+        """acc + recombine(decompose((X^a - 1) * acc) @ key), the whole
+        blind-rotation step in one fused Pallas kernel when eligible
+        (fused_cmux_step_v2: VPU rotation pipelined under the MXU dots,
+        ~704 us vs ~1040 us for the separate kernels at GATE_MXU2/B=4096).
+        Returns None when this engine/config/shape can't serve it."""
+        return None
+
+    def _cmux_step_fused(self, a, acc, w, *, l, bgbit, offset, tm):
+        import jax as _jax
+        cfg = self.cfg
+        B = acc.shape[0]
+        if not (_jax.default_backend() == "tpu" and cfg.out_bits == 32
+                and cfg.kbits == 32 and cfg.plane_split[1] == 1
+                and bgbit <= 8 and cfg.num_limbs <= 3 and acc.ndim == 3
+                and B % tm == 0):
+            return None
+        from tfhe_tpu.ops.pallas_kernels import fused_cmux_step_v2
+        return fused_cmux_step_v2(a, acc, w, l=l, bgbit=bgbit, offset=offset,
+                                  key_shift=cfg.key_shift, tm=tm)
+
 
 class NaiveEngine(_EngineBase):
     """Exact O(N^2) einsum oracle in the torus dtype (CPU tests only)."""
@@ -199,6 +221,10 @@ class MatmulEngine(_EngineBase):
         flat = _digit_planes(cfg, x)[0].reshape(x.shape[0], -1)
         return mm_recombine_acc(flat, prepared["w"], acc,
                                 shift_base=cfg.key_shift)
+
+    def cmux_step(self, a, acc, prepared, *, l, bgbit, offset, tm=256):
+        return self._cmux_step_fused(a, acc, prepared["w"], l=l, bgbit=bgbit,
+                                     offset=offset, tm=tm)
 
     def prepare(self, key_polys):
         cfg = self.cfg
@@ -342,6 +368,14 @@ class OnTheFlyMatmulEngine(_EngineBase):
         flat = _digit_planes(cfg, x)[0].reshape(x.shape[0], J * cfg.N)
         return mm_recombine_acc(flat, w, acc, shift_base=cfg.key_shift)
 
+    def cmux_step(self, a, acc, prepared, *, l, bgbit, offset, tm=256):
+        import jax as _jax
+        if _jax.default_backend() != "tpu":
+            return None
+        from tfhe_tpu.ops.pallas_kernels import materialize_w
+        return self._cmux_step_fused(a, acc, materialize_w(prepared["v"]),
+                                     l=l, bgbit=bgbit, offset=offset, tm=tm)
+
     def accumulate(self, x, prepared):
         import jax as _jax
         cfg = self.cfg
@@ -382,6 +416,10 @@ def make_engine(cfg: EngineConfig, backend: str = "matmul"):
     if backend == "nussbaumer":
         from tfhe_tpu.ops.nussbaumer import NussbaumerEngine
         return NussbaumerEngine(cfg)
+    if backend in ("fft", "fft_dd", "fft_f64"):
+        from tfhe_tpu.ops.fft import FFTEngine
+        prec = {"fft": "auto", "fft_dd": "dd", "fft_f64": "f64"}[backend]
+        return FFTEngine(cfg, precision=prec)
     if backend == "matmul":
         return MatmulEngine(cfg)
     if backend == "onthefly":

@@ -149,7 +149,7 @@ def _rotdec_kernel(N, kp1, l, bgbit, offset, nbits):
 
 
 def rotate_decompose(a, acc, *, l: int, bgbit: int, offset: int,
-                     tb: int = 512):
+                     tb: int = 512, interpret: bool = False):
     """digits of (X^a - 1) * acc for a 32-bit TRLWE accumulator batch.
 
     a: (B,) int32 exponents in [0, 2N); acc: (B, k+1, N) int32.
@@ -178,6 +178,7 @@ def rotate_decompose(a, acc, *, l: int, bgbit: int, offset: int,
         out_shape=jax.ShapeDtypeStruct((B * kp1, l, N), jnp.int8),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
+        interpret=interpret,
     )(a2, acc.reshape(B * kp1, N))
     return out.reshape(B, kp1 * l, N)
 
@@ -324,7 +325,8 @@ def _fused_cmux_kernel(N, kp1, l, L, bgbit, offset, key_shift, nb,
 
 
 def fused_cmux_step(a, acc, w, *, l: int, bgbit: int, offset: int,
-                    key_shift: int = 0, tm: int = 256, _skip_vpu: bool = False):
+                    key_shift: int = 0, tm: int = 256, _skip_vpu: bool = False,
+                    interpret: bool = False):
     """One blind-rotation step, fully fused:
 
         out = acc + recombine(decompose((X^a - 1) * acc) @ w)
@@ -362,7 +364,180 @@ def fused_cmux_step(a, acc, w, *, l: int, bgbit: int, offset: int,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+        interpret=interpret,
     )(a2, a2, acc.reshape(B, kp1 * N), acc.reshape(B, kp1 * N), w)
+    return out.reshape(B, kp1, N)
+
+
+# ---------------------------------------------------------------------------
+# Fused CMux step v2.
+#
+# Lessons from v1 (measured, GATE_MXU2 shapes, B=4096 on v5e):
+#   * 3D (L, N, N) W blocks + tn=N-wide dots ran the MXU at ~160 TOP/s
+#     (1042 us/step with the VPU path compiled out);
+#   * the same contraction as three separate 2D (tk, UN) operands with
+#     full-UN-wide dots sustains ~340 TOP/s (tools/mm_recombine_tune2.py),
+#     i.e. MXU speed-of-light for the 3-limb int8 contraction is ~511 us.
+#
+# v2 therefore uses grid (batch tile i, digit chunk c), c in [0, (k+1)*l):
+# each cell dots the current tile's digit chunk c against the three limb
+# matrices' row-block c at full output width, while a software pipeline
+# spread over the cells runs the rotation/decomposition (seed, 9 cyclic
+# rolls, sign fixup, l digit extracts, per accumulator polynomial) of the
+# NEXT batch tile into a ping-pong digit buffer.  One tile's VPU work is
+# (k+1)*(2+log2(N)+l) ~ 42 vector passes vs 9 MXU cells of ~3.5 us each, so
+# the VPU stream fits under the MXU stream when Mosaic interleaves them.
+# ---------------------------------------------------------------------------
+
+
+def _fused_cmux_v2_kernel(N, kp1, l, L, bgbit, offset, key_shift, nb,
+                          skip_vpu=False):
+    J = kp1 * l
+    nbits = (N - 1).bit_length()               # cyclic-roll stages (mod N)
+    half = 1 << (bgbit - 1)
+    dmask = (1 << bgbit) - 1
+    n_units = kp1 * (2 + nbits + l)            # full tile rotation pipeline
+    # unit q runs in cell `unit_cell[q]`; spread as evenly as possible
+    unit_cell = [min(q * J // n_units, J - 1) for q in range(n_units)]
+
+    def kernel(acur_ref, anext_ref, acc_ref, accn_ref, w0_ref, w1_ref, w2_ref,
+               out_ref, rot_ref, orig_ref, arot_ref, dig0_ref, dig1_ref,
+               s_ref):
+        i = pl.program_id(0)
+        c = pl.program_id(1)
+        digs = (dig0_ref, dig1_ref)
+        w_refs = (w0_ref, w1_ref, w2_ref)[:L]
+
+        # ---- VPU pipeline units (build tile `src`'s digits into `wbuf`) --
+        def unit_seed(u, next_tile):
+            src = accn_ref if next_tile else acc_ref
+            orig_ref[:, :] = src[:, pl.ds(u * N, N)]
+            rot_ref[:, :] = src[:, pl.ds(u * N, N)]
+            arot_ref[:, :] = anext_ref[:] if next_tile else acur_ref[:]
+
+        def unit_roll(w):
+            r = 1 << w
+            rolled = pltpu.roll(rot_ref[:], jnp.int32(r), axis=1)
+            bit = ((arot_ref[:] >> w) & 1) > 0
+            rot_ref[:, :] = jnp.where(bit, rolled, rot_ref[:])
+
+        def unit_sign():
+            x = rot_ref[:]
+            aN = arot_ref[:] & jnp.int32(N - 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+            hi = (arot_ref[:] >> jnp.int32(nbits)) & 1
+            neg = (lane < aN).astype(jnp.int32) ^ hi
+            rot_ref[:, :] = jnp.where(neg > 0, -x, x)
+
+        def unit_extract(u, lv, wbuf):
+            d32 = (rot_ref[:] - orig_ref[:]).astype(jnp.uint32) + jnp.uint32(offset)
+            s = 32 - (lv + 1) * bgbit
+            d = ((d32 >> jnp.uint32(s)) & jnp.uint32(dmask)).astype(jnp.int32) - half
+            wbuf[:, pl.ds((u * l + lv) * N, N)] = d.astype(jnp.int8)
+
+        def run_unit(q, wbuf, next_tile):
+            u, uq = q // (2 + nbits + l), q % (2 + nbits + l)
+            if uq == 0:
+                unit_seed(u, next_tile)
+            elif uq <= nbits:
+                unit_roll(uq - 1)
+            elif uq == nbits + 1:
+                unit_sign()
+            else:
+                unit_extract(u, uq - nbits - 2, wbuf)
+
+        if not skip_vpu:
+            # prologue: tile 0's digits built whole before its first dot
+            @pl.when((i == 0) & (c == 0))
+            def _():
+                for q in range(n_units):
+                    run_unit(q, dig0_ref, next_tile=False)
+
+            # steady state: next tile's digits, spread over this tile's cells
+            for wb in range(2):
+                @pl.when(((i + 1) & 1) == wb)
+                def _(wb=wb):
+                    for cc in range(J):
+                        @pl.when(c == cc)
+                        def _(cc=cc, wb=wb):
+                            for q in range(n_units):
+                                if unit_cell[q] == cc:
+                                    run_unit(q, digs[wb], next_tile=True)
+
+        # ---- MXU: digit chunk c x three limb row-blocks, full width ------
+        for rb in range(2):
+            @pl.when((i & 1) == rb)
+            def _(rb=rb):
+                x = digs[rb][:, pl.ds(c * N, N)]
+                part = None
+                for lm, wr in enumerate(w_refs):
+                    y = jnp.dot(x, wr[:], preferred_element_type=jnp.int32)
+                    sh = 8 * lm + key_shift
+                    y = y << sh if sh else y
+                    part = y if part is None else part + y
+
+                @pl.when(c == 0)
+                def _():
+                    s_ref[:, :] = acc_ref[:] + part
+
+                @pl.when(c != 0)
+                def _():
+                    s_ref[:, :] = s_ref[:] + part
+
+        @pl.when(c == J - 1)
+        def _():
+            out_ref[:, :] = s_ref[:]
+    return kernel
+
+
+def fused_cmux_step_v2(a, acc, w, *, l: int, bgbit: int, offset: int,
+                       key_shift: int = 0, tm: int = 256,
+                       _skip_vpu: bool = False, interpret: bool = False):
+    """One blind-rotation step, fully fused (v2 schedule):
+
+        out = acc + recombine(decompose((X^a - 1) * acc) @ w)
+
+    a:   (B,) int32 exponents in [0, 2N)
+    acc: (B, k+1, N) int32 TRLWE accumulator batch
+    w:   (L, (k+1)*l*N, (k+1)*N) int8 key limb matrices (materialize_w
+         layout); L <= 3.
+    Returns (B, k+1, N) int32.
+    """
+    B, kp1, N = acc.shape
+    L, K, UN = w.shape
+    J = kp1 * l
+    assert K == J * N and UN == kp1 * N and B % tm == 0 and L <= 3
+    nb = B // tm
+    a2 = a.astype(jnp.int32)[:, None]
+    ws = [w[lm] for lm in range(L)]
+    ws += [ws[-1]] * (3 - L)           # pad unused operands (never dotted)
+    out = pl.pallas_call(
+        _fused_cmux_v2_kernel(N, kp1, l, L, bgbit, offset, key_shift, nb,
+                              skip_vpu=_skip_vpu),
+        grid=(nb, J),
+        in_specs=[  # i - i: typed zero (literal 0 is i64 under x64)
+            pl.BlockSpec((tm, 1), lambda i, c: (i, i - i)),
+            pl.BlockSpec((tm, 1), lambda i, c: (jnp.minimum(i + 1, nb - 1), i - i)),
+            pl.BlockSpec((tm, kp1 * N), lambda i, c: (i, i - i)),
+            pl.BlockSpec((tm, kp1 * N), lambda i, c: (jnp.minimum(i + 1, nb - 1), i - i)),
+            pl.BlockSpec((N, UN), lambda i, c: (c, i - i)),
+            pl.BlockSpec((N, UN), lambda i, c: (c, i - i)),
+            pl.BlockSpec((N, UN), lambda i, c: (c, i - i)),
+        ],
+        out_specs=pl.BlockSpec((tm, kp1 * N), lambda i, c: (i, i - i)),
+        out_shape=jax.ShapeDtypeStruct((B, kp1 * N), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((tm, N), jnp.int32),          # rot
+            pltpu.VMEM((tm, N), jnp.int32),          # orig
+            pltpu.VMEM((tm, 1), jnp.int32),          # arot
+            pltpu.VMEM((tm, J * N), jnp.int8),       # dig ping
+            pltpu.VMEM((tm, J * N), jnp.int8),       # dig pong
+            pltpu.VMEM((tm, kp1 * N), jnp.int32),    # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(a2, a2, acc.reshape(B, kp1 * N), acc.reshape(B, kp1 * N), *ws)
     return out.reshape(B, kp1, N)
 
 
@@ -389,7 +564,8 @@ def _mm_recombine_kernel(L, shift_base, nk):
 
 
 def mm_recombine_acc(x, w, acc_in, *, shift_base: int = 0,
-                     tm: int = 1024, tn: int = 512, tk: int = 512):
+                     tm: int = 1024, tn: int = 512, tk: int = 512,
+                     interpret: bool = False):
     """acc_in + recombine_limbs(x @ w) with everything fused.
 
     x:      (B, K) int8 digit planes (K = J*N)
@@ -422,5 +598,6 @@ def mm_recombine_acc(x, w, acc_in, *, shift_base: int = 0,
         scratch_shapes=[pltpu.VMEM((tm, tn), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=interpret,
     )(x, w, acc_in.reshape(B, UN))
     return out.reshape(lead_shape)

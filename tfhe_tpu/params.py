@@ -270,6 +270,18 @@ GATE_MXU2 = GateParams(
     ks=KeySwitchParams(t=8, basebit=2, stdev=2.0**-15),
 )
 
+# GATE_MXU2 with the reference's own level-0 dimension: the circuit-
+# bootstrapping PoC's active block uses n_lvl0=500 at ks stdev 2^-14
+# (poc_CircuitBootstrapping.cpp:72-76), i.e. the same LWE-500/2^-14 lattice
+# point as upstream TFHE's 2017-era gate set.  500 instead of 630 CMux
+# steps: the throughput set for v5e-class chips.
+GATE_FAST2 = GateParams(
+    lwe=LweParams(n=500, stdev=2.0**-14),
+    tgsw=TGswParams(l=3, bgbit=7, key_limbs=3,
+                    tlwe=TLweParams(N=512, k=2, stdev=2.0**-25, bits=32)),
+    ks=KeySwitchParams(t=8, basebit=2, stdev=2.0**-14),
+)
+
 # Tiny sets for CPU unit tests: cryptographically meaningless, numerically
 # well-conditioned (noise-free or near noise-free) so decryption is exact.
 GATE_TOY = GateParams(
