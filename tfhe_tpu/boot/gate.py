@@ -29,6 +29,20 @@ from tfhe_tpu.boot import blind_rotate as br
 MU_BOOL = 1 << 29            # 1/8 as Torus32
 
 
+def host_keygen_device():
+    """Context manager pinning eager ops to the host CPU backend (no-op when
+    CPU already is the default).  Keygen math is transfer/dispatch-bound on
+    remote accelerators, not compute-bound."""
+    import contextlib
+    if jax.default_backend() == "cpu":
+        return contextlib.nullcontext()
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        return contextlib.nullcontext()
+    return jax.default_device(cpu)
+
+
 @dataclasses.dataclass
 class SecretKey:
     params: GateParams
@@ -60,12 +74,22 @@ class CloudKey:
     def generate(sk: SecretKey, rng: TfheRng, backend: str = "matmul",
                  keep_raw_ks: bool = False) -> "CloudKey":
         p = sk.params
-        gsw = tgsw.encrypt(sk.ring_key, sk.lwe_key.key, p.tgsw, rng,
-                           stdev=p.tgsw.tlwe.stdev)       # (n, k+1, l, k+1, N)
-        eng = tgsw.make_engine(tgsw.engine_config(p.tgsw), backend)
-        prep = jax.lax.map(lambda g: eng.prepare(tgsw.rows(g)), gsw)
-        ksk = lwe.KeySwitchKey.generate(sk.extracted_key, sk.lwe_key, p.ks,
-                                        rng, keep_raw=keep_raw_ks)
+        with host_keygen_device():
+            # keygen is hundreds of small eager ops; against a remote
+            # accelerator each becomes a dispatch round-trip (281 s over
+            # the dev tunnel).  Run it on the host CPU backend (~3 s) and
+            # ship the finished key material across once.
+            gsw = tgsw.encrypt(sk.ring_key, sk.lwe_key.key, p.tgsw, rng,
+                               stdev=p.tgsw.tlwe.stdev)   # (n, k+1, l, k+1, N)
+            eng = tgsw.make_engine(tgsw.engine_config(p.tgsw), backend)
+            prep = jax.lax.map(lambda g: eng.prepare(tgsw.rows(g)), gsw)
+            ksk = lwe.KeySwitchKey.generate(sk.extracted_key, sk.lwe_key,
+                                            p.ks, rng, keep_raw=keep_raw_ks)
+        dev = jax.devices()[0]
+        if dev.platform != "cpu":
+            prep = jax.device_put(prep, dev)
+            ksk = dataclasses.replace(
+                ksk, w_limbs=jax.device_put(ksk.w_limbs, dev))
         return CloudKey(p, backend, prep, ksk)
 
     @property

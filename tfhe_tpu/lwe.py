@@ -47,8 +47,12 @@ def encrypt(key: LweKey, messages, rng: TfheRng, stdev: float | None = None):
     n = key.params.n
     a = rng.uniform32(messages.shape + (n,))
     b = rng.gaussian32(messages, stdev, messages.shape)
-    b = (b + (a.astype(np.int64) @ key.key.astype(np.int64)).astype(np.int32))
-    return jnp.asarray(np.concatenate([a, b[..., None].astype(np.int32)], axis=-1))
+    # sum in int64, then truncate: astype(int32) wraps mod 2^32 silently
+    # (the wrap is the intended torus semantics; a plain int32 add trips
+    # numpy's scalar-overflow warning for 0-d messages).
+    b = (b.astype(np.int64)
+         + a.astype(np.int64) @ key.key.astype(np.int64)).astype(np.int32)
+    return jnp.asarray(np.concatenate([a, b[..., None]], axis=-1))
 
 
 def noiseless_trivial(mu, n: int):
