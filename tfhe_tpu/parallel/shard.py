@@ -1,0 +1,170 @@
+"""Explicit shard_map scale-out: dp x ep sharding of the bootstrap hot path.
+
+`mesh.py` gives the GSPMD formulation (NamedSharding + jit, collectives
+implicit).  This module is the explicit counterpart the reference's OpenMP
+layer never needed (SURVEY.md §2.4 table): every device's local work and
+every collective is written out with `shard_map` + `lax.psum`, so the
+communication pattern is a design artifact, not a compiler inference.
+
+Axes:
+  dp — ciphertext batch.  Embarrassingly parallel (the OpenMP parallel-for
+       analog, test_parallel_multiplications.cpp:62): no collectives.
+  ep — the external-product digit-row axis J = (k+1)*l (SURVEY §2.4 "limb
+       sharding").  Each device holds the J/ep slice of every per-step
+       prepared TRGSW operand and contracts its digit slice; the partial
+       (B/dp, (k+1)*N) products reduce with ONE psum per blind-rotation
+       step over the ep axis.  The key-switch matrices shard the same way
+       along their contracted one-hot dimension (digit rows), psum'd once.
+
+Key material per device: bk 1/ep-th, ksk 1/ep-th, i.e. the layout scales
+to keys larger than a single chip's HBM — the design decision SURVEY.md §7
+flags ("key material size & movement") that the reference never faced.
+
+The accumulator is replicated over ep: the rotation/decomposition VPU work
+is duplicated ep times, the MXU contraction divides by ep, and each step
+moves one (B/dp, (k+1)*N) psum over ICI.  At gate parameters that is a
+26 KB/ct reduce per step against ~85 KB/ct of MXU+VPU work — profitable
+once the per-chip batch saturates (see tools/scaling_virtual.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from tfhe_tpu import lwe, tlwe, tgsw
+from tfhe_tpu import torus as T
+from tfhe_tpu.ops.decomp import decompose_tlwe
+from tfhe_tpu.ops.engine import make_engine
+from tfhe_tpu.ops import poly
+
+
+def make_mesh(n_devices: int | None = None, dp: int | None = None,
+              ep: int | None = None) -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    if ep is None:
+        ep = 2 if n % 2 == 0 and n > 1 else 1
+    if dp is None:
+        dp = n // ep
+    assert dp * ep == n, (dp, ep, n)
+    return Mesh(np.asarray(devs[:n]).reshape(dp, ep), ("dp", "ep"))
+
+
+def _bk_ep_spec(backend: str) -> P:
+    """PartitionSpec of a stacked prepared-bk leaf, J axis sharded over ep.
+
+    onthefly leaves are (n, L, J, U, 2N); matmul leaves are (n, L, J*N, U*N)
+    with row-major (j, t) rows, so a contiguous J*N split divides J."""
+    if backend == "onthefly":
+        return P(None, None, "ep", None, None)
+    if backend == "matmul":
+        return P(None, None, "ep", None)
+    raise ValueError(f"ep sharding not defined for backend {backend!r}")
+
+
+def key_shardings(mesh: Mesh, key_data, backend: str = "onthefly"):
+    """Device placement for a gate CloudKey.data pytree under dp x ep."""
+    bk = NamedSharding(mesh, _bk_ep_spec(backend))
+    ksw = NamedSharding(mesh, P(None, "ep", None))
+    return {"bk": jax.tree.map(lambda _: bk, key_data["bk"]), "ksw": ksw}
+
+
+def _local_blind_rotate(acc, bk_local, abar, p, eng, ep_axis: str | None):
+    """Per-device body: full rotation, local digit-slice contraction,
+    psum-reduced accumulator update.  acc replicated over ep."""
+
+    def step(acc, xs):
+        prep_i, a_i = xs
+        acc2 = tlwe.mul_by_xai_minus_one(a_i, acc)
+        digits = decompose_tlwe(acc2, p)               # (B, J, N) local B
+        if ep_axis is not None:
+            jsz = jax.lax.axis_size(ep_axis)
+            jlo = jax.lax.axis_index(ep_axis) * (p.kpl // jsz)
+            digits = lax.dynamic_slice_in_dim(digits, jlo, p.kpl // jsz,
+                                              axis=-2)
+            part = eng.accumulate(digits, prep_i)
+            part = lax.psum(part, ep_axis)
+        else:
+            part = eng.accumulate(digits, prep_i)
+        return acc + part, None
+
+    acc, _ = lax.scan(step, acc, (bk_local, jnp.moveaxis(abar, -1, 0)))
+    return acc
+
+
+def _local_keyswitch(samples, w_limbs_local, ks, n_out, ep_axis: str | None):
+    """One-hot keyswitch with the contracted dim sharded over ep: each
+    device multiplies its digit-row slice, one psum reduces the sum
+    (lweKeySwitch, lwe_functions.cpp:163-172)."""
+    a, b = samples[..., :-1], samples[..., -1]
+    digs = lwe.keyswitch_digits(a, ks)                 # (..., n_in, t)
+    onehot = (digs[..., None] == jnp.arange(ks.base)).astype(jnp.int8)
+    onehot = onehot.reshape(*samples.shape[:-1], -1)   # (..., n_in*t*base)
+    if ep_axis is not None:
+        rows = w_limbs_local.shape[1]
+        lo = jax.lax.axis_index(ep_axis) * rows
+        onehot = lax.dynamic_slice_in_dim(onehot, lo, rows, axis=-1)
+    acc = 0
+    for l in range(w_limbs_local.shape[0]):
+        part = jnp.matmul(onehot, w_limbs_local[l],
+                          preferred_element_type=jnp.int32)
+        acc = acc + (part << (8 * l))
+    if ep_axis is not None:
+        acc = lax.psum(acc, ep_axis)
+    return lwe.noiseless_trivial(b, n_out) - acc
+
+
+def make_sharded_bootstrap_fn(params, mesh: Mesh, backend: str = "onthefly",
+                              mu: int | None = None):
+    """Explicit-collective gate bootstrap over a (dp, ep) mesh.
+
+    Returns (jitted fn(key_data, samples) -> samples, shard placement fn).
+    Bit-identical to gate.bootstrap (tests/test_shard_map.py asserts it).
+    """
+    from tfhe_tpu.boot import gate
+
+    p = params.tgsw
+    mu = gate.MU_BOOL if mu is None else mu
+    ep = mesh.shape["ep"]
+    # always route through the ep collectives (a size-1 psum is free);
+    # skipping them when ep == 1 leaves the carry ep-invariant while the
+    # bk-derived update is ep-varying, which shard_map's VMA check rejects.
+    ep_axis = "ep"
+    assert p.kpl % ep == 0, (p.kpl, ep)
+    eng = make_engine(tgsw.engine_config(p), backend)
+    N = p.tlwe.N
+
+    def local_fn(key_data, samples):
+        # samples: (B/dp, n+1) local; bk leaves J-sliced; ksw row-sliced.
+        a, b = samples[..., :-1], samples[..., -1]
+        barb = T.mod_switch_from_torus32(b, 2 * N)
+        bara = T.mod_switch_from_torus32(a, 2 * N)
+        tv = jnp.full((barb.shape[0], N), np.int32(mu), jnp.int32)
+        tv = poly.mul_by_xai((2 * N - barb) % (2 * N), tv)
+        acc = tlwe.noiseless_trivial_poly(tv, p.tlwe.k)
+        acc = _local_blind_rotate(acc, key_data["bk"], bara, p, eng, ep_axis)
+        u = tlwe.extract_lwe(acc, 0)
+        return _local_keyswitch(u, key_data["ksw"], params.ks, params.lwe.n,
+                                ep_axis)
+
+    bk_spec = _bk_ep_spec(backend)
+    fn = shard_map(local_fn, mesh=mesh,
+                   in_specs=({"bk": bk_spec, "ksw": P(None, "ep", None)},
+                             P("dp", None)),
+                   out_specs=P("dp", None))
+
+    def shard(key_data, samples):
+        key_data = jax.device_put(
+            key_data, key_shardings(mesh, key_data, backend))
+        samples = jax.device_put(
+            samples, NamedSharding(mesh, P("dp", None)))
+        return key_data, samples
+
+    return jax.jit(fn), shard
