@@ -96,3 +96,54 @@ def test_sample_extract():
         expect_a[j] = -av[0, N - j]
     assert np.array_equal(got[:-1], expect_a)
     assert got[-1] == av[k, 0]
+
+
+# ---------------------------------------------------------------------------
+# R2 convenience op set (added round 2)
+# ---------------------------------------------------------------------------
+
+def test_add_sub_mul_z_wraps():
+    import numpy as np
+    import jax.numpy as jnp
+    from tfhe_tpu.ops import poly
+    a = jnp.asarray(np.array([2**31 - 1, -5], np.int32))
+    x = jnp.asarray(np.array([1, 1], np.int32))
+    got = np.asarray(poly.add_mul_z(a, 3, x))
+    want = (np.array([2**31 - 1, -5], np.int64) + 3) % 2**32
+    np.testing.assert_array_equal(got.astype(np.uint32), want.astype(np.uint32))
+    back = np.asarray(poly.sub_mul_z(jnp.asarray(got), 3, x))
+    np.testing.assert_array_equal(back, np.asarray(a))
+
+
+def test_norms_match_reference_semantics():
+    import numpy as np
+    from tfhe_tpu.ops import poly
+    r = np.random.default_rng(0)
+    a = r.integers(-100, 100, (3, 16)).astype(np.int32)
+    b = r.integers(-100, 100, (3, 16)).astype(np.int32)
+    np.testing.assert_allclose(np.asarray(poly.int_norm_sq2(a)),
+                               (a.astype(np.float64) ** 2).sum(-1))
+    np.testing.assert_allclose(np.asarray(poly.int_norm_infty_dist(a, b)),
+                               np.abs(a - b).max(-1))
+    t1 = r.integers(-2**31, 2**31, (16,)).astype(np.int32)
+    t2 = (t1 + 7).astype(np.int32)
+    d = np.asarray(poly.torus_norm_infty_dist(t1, t2))
+    np.testing.assert_allclose(d, 7 / 2.0**32)
+
+
+def test_mul_fft_matches_exact_small():
+    import numpy as np
+    import jax.numpy as jnp
+    from tfhe_tpu.ops import poly
+    r = np.random.default_rng(1)
+    a = r.integers(-64, 65, (2, 64)).astype(np.int32)
+    b = r.integers(-2**31, 2**31, (2, 64)).astype(np.int32)
+    want = np.asarray(poly.negacyclic_mul_exact(a, jnp.asarray(b)))
+    got = np.asarray(poly.mul_fft(a, b))
+    diff = (got.astype(np.int64) - want.astype(np.int64)).astype(np.int32)
+    assert np.abs(diff).max() <= 4
+    acc = jnp.asarray(r.integers(-2**31, 2**31, (2, 64)).astype(np.int32))
+    gadd = np.asarray(poly.add_mul_fft(acc, a, b))
+    gsub = np.asarray(poly.sub_mul_fft(acc, a, b))
+    np.testing.assert_array_equal(gadd, np.asarray(acc) + got)
+    np.testing.assert_array_equal(gsub, np.asarray(acc) - got)

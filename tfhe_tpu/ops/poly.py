@@ -109,3 +109,88 @@ def sample_extract(tlwe_av, index: int = 0):
     sign = jnp.asarray(np.where(j <= index, 1, -1), tlwe_av.dtype)
     a_out = (rolled * sign).reshape(*tlwe_av.shape[:-2], k * N)
     return jnp.concatenate([a_out, b[..., index:index + 1]], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# R2 convenience op set (numeric_functions.cpp:140-460): scalar mul-adds and
+# norms.  clear/uniform/copy are plain jnp array ops and need no wrappers.
+# ---------------------------------------------------------------------------
+
+def add_mul_z(accum, p, x):
+    """accum + p * x with native torus wrap (torusPolynomialAddMulZTo,
+    numeric_functions.cpp:316-322).  p: integer scalar or (...,1) array."""
+    accum = jnp.asarray(accum)
+    return accum + jnp.asarray(p).astype(accum.dtype) * jnp.asarray(x).astype(accum.dtype)
+
+
+def sub_mul_z(accum, p, x):
+    """accum - p * x with native torus wrap (torusPolynomialSubMulZTo,
+    numeric_functions.cpp:324-330)."""
+    accum = jnp.asarray(accum)
+    return accum - jnp.asarray(p).astype(accum.dtype) * jnp.asarray(x).astype(accum.dtype)
+
+
+def int_norm_sq2(x):
+    """Euclidean norm^2 of integer polynomials, per-polynomial over the last
+    axis (intPolynomialNormSq2/Norm2sq, numeric_functions.cpp:361-371,437-446)."""
+    x = jnp.asarray(x, jnp.float64)
+    return jnp.sum(x * x, axis=-1)
+
+
+def int_norm_infty_dist(a, b):
+    """max |a - b| over the last axis (intPolynomialNormInftyDist,
+    numeric_functions.cpp:449-461)."""
+    d = jnp.asarray(a, jnp.int64) - jnp.asarray(b, jnp.int64)
+    return jnp.max(jnp.abs(d).astype(jnp.float64), axis=-1)
+
+
+def torus_norm_infty_dist(a, b):
+    """max |t2double(a - b)| over the last axis with the wrap-aware
+    difference (torusPolynomialNormInftyDist, numeric_functions.cpp:419-428)."""
+    a = jnp.asarray(a)
+    d = a - jnp.asarray(b).astype(a.dtype)            # native wrap
+    bits = 32 if a.dtype == jnp.int32 else 64
+    t = d.astype(jnp.float64) / 2.0**bits
+    return jnp.max(jnp.abs(t), axis=-1)
+
+
+def mul_fft(a_int, b_torus, precision: str = "auto"):
+    """Approximate negacyclic product through the evaluation domain
+    (torusPolynomialMultFFT, numeric_functions.cpp:140-148) — the FFTEngine
+    path as a one-shot convenience.  For exact products use
+    negacyclic_mul_exact or the integer engines."""
+    import jax
+    b = jnp.asarray(b_torus)
+    N = b.shape[-1]
+    bits = 32 if b.dtype == jnp.int32 else 64
+    a = jnp.asarray(a_int)
+    if precision == "auto":
+        precision = "f64" if jax.default_backend() == "cpu" else "dd"
+    if precision == "f64":
+        from tfhe_tpu.ops.fft import negacyclic_fft, negacyclic_ifft
+        ha = negacyclic_fft(a, precision="highest")
+        hb = negacyclic_fft(b, precision="highest")
+        y = negacyclic_ifft(ha * hb, N)
+        m = jnp.float64(2.0**bits)
+        w = jnp.round(y) - m * jnp.round(y / m)
+        return w.astype(jnp.int64).astype(b.dtype)
+    from tfhe_tpu.ops.fft import (negacyclic_fft_dd_dev, _dd_cmul,
+                                  negacyclic_ifft_dd_dev)
+    xa = negacyclic_fft_dd_dev(a)
+    xb = negacyclic_fft_dd_dev(b)
+    parts = _dd_cmul(xa[0], xa[1], xa[2], xa[3], xb[0], xb[1], xb[2], xb[3])
+    return negacyclic_ifft_dd_dev(parts, N, bits)
+
+
+def add_mul_fft(accum, a_int, b_torus, precision: str = "auto"):
+    """accum + a (*) b via the FFT path (torusPolynomialAddMulRFFT,
+    numeric_functions.cpp:149-160)."""
+    accum = jnp.asarray(accum)
+    return accum + mul_fft(a_int, b_torus, precision).astype(accum.dtype)
+
+
+def sub_mul_fft(accum, a_int, b_torus, precision: str = "auto"):
+    """accum - a (*) b via the FFT path (torusPolynomialSubMulRFFT,
+    numeric_functions.cpp:161-172)."""
+    accum = jnp.asarray(accum)
+    return accum - mul_fft(a_int, b_torus, precision).astype(accum.dtype)
