@@ -1,0 +1,87 @@
+"""Native circuit scheduler + batched homomorphic evaluation."""
+
+import numpy as np
+import pytest
+
+from tfhe_tpu.params import GATE_TOY
+from tfhe_tpu.rng import TfheRng
+from tfhe_tpu.boot import gate
+
+
+def _build_adder(circ, xa, xb, cin):
+    """Ripple-carry full adders over wire-id lists; returns (sums, cout)."""
+    sums = []
+    c = cin
+    for a, b in zip(xa, xb):
+        axb = circ.xor(a, b)
+        s = circ.xor(axb, c)
+        c = circ.or_(circ.and_(a, b), circ.and_(axb, c))
+        sums.append(s)
+    return sums, c
+
+
+def test_scheduler_levelizes_and_folds_frees():
+    from tfhe_tpu.runtime import Circuit
+    circ = Circuit(4)
+    n0 = circ.not_(0)                 # free
+    k1 = circ.const(True)             # free
+    g1 = circ.and_(n0, 1)
+    g2 = circ.xor(2, 3)
+    g3 = circ.nand(g1, g2)
+    m = circ.mux(g3, g1, k1)
+    waves = circ.schedule()
+    kinds = [k for k, _ in waves]
+    # level 0: and + xor (two waves, independent); level 1: nand; level 2: mux
+    assert sorted(kinds[:2]) == ["and", "xor"]
+    assert kinds[2:] == ["nand", "mux"]
+    # NOT folded into a negated reference of wire 0
+    and_wave = dict(waves)["and"]
+    (a_ref, b_ref, _c, _out) = and_wave[0]
+    assert a_ref == (0, True, False) and b_ref == (1, False, False)
+    # const folded into the mux operand
+    mux_wave = dict(waves)["mux"]
+    assert mux_wave[0][2][0] == -1 and mux_wave[0][2][2] is True
+
+
+def test_homomorphic_adder_matches_plain():
+    from tfhe_tpu.runtime import Circuit, evaluate
+    p = GATE_TOY
+    rng = TfheRng(3)
+    sk = gate.SecretKey.generate(p, rng)
+    ck = gate.CloudKey.generate(sk, rng, backend="onthefly")
+
+    W = 3                              # 3-bit adder
+    circ = Circuit(2 * W + 1)
+    xa = list(range(W))
+    xb = list(range(W, 2 * W))
+    sums, cout = _build_adder(circ, xa, xb, 2 * W)
+
+    r = np.random.default_rng(5)
+    va = int(r.integers(0, 2**W))
+    vb = int(r.integers(0, 2**W))
+    bits = [bool((va >> i) & 1) for i in range(W)] + \
+           [bool((vb >> i) & 1) for i in range(W)] + [False]
+    ct = gate.encrypt_bool(sk, np.array(bits), rng)
+
+    out = evaluate(circ, ct, ck.data, p, sums + [cout], backend="onthefly")
+    dec = gate.decrypt_bool(sk, out)
+    got = sum(int(dec[i]) << i for i in range(W)) + (int(dec[W]) << W)
+    assert got == va + vb, (va, vb, got)
+
+
+def test_mux_chain_evaluates():
+    from tfhe_tpu.runtime import Circuit, evaluate
+    p = GATE_TOY
+    rng = TfheRng(7)
+    sk = gate.SecretKey.generate(p, rng)
+    ck = gate.CloudKey.generate(sk, rng, backend="onthefly")
+    circ = Circuit(3)
+    m = circ.mux(0, 1, 2)              # sel ? w1 : w2
+    n = circ.not_(m)
+    for sel in (False, True):
+        bits = np.array([sel, True, False])
+        ct = gate.encrypt_bool(sk, bits, rng)
+        out = evaluate(circ, ct, ck.data, p, [m, n], backend="onthefly")
+        dec = gate.decrypt_bool(sk, out)
+        want = bits[1] if sel else bits[2]
+        assert dec[0] == want and dec[1] == (not want)

@@ -256,9 +256,24 @@ GATE_MXU = GateParams(
 )
 
 # MXU-shaped set exploiting the matmul engine's (k+1)^2*N^2 cost scaling at
-# fixed security dimension k*N: k=2/N=512 has the same ring dimension (1024)
-# and key noise as GATE_MXU's k=1/N=1024 — hence the same lattice security —
-# but 1.78x fewer external-product MACs ((1024+512)^2 vs (1024+1024)^2).
+# fixed security dimension k*N: k=2/N=512 has the same total dimension
+# (kN=1024) and key noise as GATE_MXU's k=1/N=1024, but 1.78x fewer
+# external-product MACs ((1024+512)^2 vs (1024+1024)^2).
+#
+# Security argument (not just "same kN"): the accumulator key is a rank-2
+# module-LWE instance over Z[X]/(X^512+1) with binary secret, noise rate
+# 2^-25 at q=2^32.  Concrete lattice estimates (primal/dual attacks as in
+# the lattice-estimator and the MATZOV analyses) depend on the TOTAL LWE
+# dimension kN and the noise rate — the module rank does not open known
+# attacks beyond those on the corresponding dimension-1024 LWE problem;
+# conversely every attack on rank-2 module-LWE yields one on rank-1
+# ring-LWE of the same kN (module-LWE is at least as hard as RLWE at equal
+# total dimension, Langlois-Stehle).  So this set is NOT weaker than the
+# standard N=1024/k=1 gate set it mirrors; both sit on the same
+# maxLog2Alpha curve point (misc/params.html:9-14: n=1024 -> alpha 2^-31
+# minimum, ours is 2^-25).  The key_limbs=3 truncation is generated ON the
+# coarse lattice (tlwe.encrypt_zero coarse_bits): security is that of LWE
+# at modulus 2^24 with relative noise 2^-17, still 7 bits above that curve.
 # The price is mod-switch granularity 2N=1024: tmodswitch rises to 2^-14.3,
 # still inside the gate budget (noise.gate_bootstrap_variances: worst-case
 # gate error < 2^-80).  Gadget stays l=3/Bg=2^7 (see the GATE_FAST note:

@@ -1,0 +1,161 @@
+"""Homomorphic boolean-circuit runtime: native scheduler + batched executor.
+
+The graph side (construction, Kahn levelization, wave extraction,
+criticality ordering) lives in C++ (native/circuit_sched.cpp, ctypes ABI);
+this module is the executor that feeds each wave — a set of independent
+same-kind gates — to ONE batched gate call (boot/gate.py), so a circuit
+with W waves costs W fused blind-rotation launches regardless of gate
+count.  NOT and constants are folded into wire references by the scheduler
+and cost nothing (gate_not is sample negation; constants are noiseless
+trivial samples).
+
+This is the serving layer the reference never had: its drivers evaluate
+one operation at a time on one core (poc drivers, SURVEY §2 L5); here the
+batch axis of the TPU pipeline IS the gate-parallelism of the circuit.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+_KINDS = {"and": 1, "or": 2, "xor": 3, "nand": 4, "nor": 5, "xnor": 6,
+          "not": 7, "const0": 8, "const1": 9, "mux": 10}
+_KIND_NAMES = {v: k for k, v in _KINDS.items()}
+
+
+def _lib():
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "native",
+        "libcircuit_sched.so")
+    if not os.path.exists(path):
+        raise RuntimeError(
+            "native/libcircuit_sched.so not built (run `make -C native`)")
+    lib = ctypes.CDLL(path)
+    lib.circ_new.restype = ctypes.c_int32
+    lib.circ_gate.restype = ctypes.c_int32
+    lib.circ_mux.restype = ctypes.c_int32
+    lib.circ_schedule.restype = ctypes.c_int32
+    lib.circ_wave.restype = ctypes.c_int32
+    lib.circ_n_gates.restype = ctypes.c_int32
+    lib.circ_n_wires.restype = ctypes.c_int32
+    return lib
+
+
+class Circuit:
+    """Boolean circuit builder over wire ids (inputs are wires 0..n-1)."""
+
+    def __init__(self, n_inputs: int):
+        self._lib = _lib()
+        self._h = self._lib.circ_new(n_inputs)
+        self.n_inputs = n_inputs
+
+    def __del__(self):
+        try:
+            self._lib.circ_free(self._h)
+        except Exception:
+            pass
+
+    def gate(self, kind: str, a: int, b: int = -1) -> int:
+        return int(self._lib.circ_gate(self._h, _KINDS[kind], a, b))
+
+    def __getattr__(self, name):
+        if name in ("and_", "or_", "xor", "nand", "nor", "xnor"):
+            k = name.rstrip("_")
+            return lambda a, b: self.gate(k, a, b)
+        raise AttributeError(name)
+
+    def not_(self, a: int) -> int:
+        return self.gate("not", a)
+
+    def const(self, v: bool) -> int:
+        return self.gate("const1" if v else "const0", 0)
+
+    def mux(self, c: int, x: int, y: int) -> int:
+        """c ? x : y."""
+        return int(self._lib.circ_mux(self._h, c, x, y))
+
+    def schedule(self):
+        """-> [(kind_name, [(a_ref, b_ref, c_ref, out_wire), ...]), ...]
+        where each ref is (base_wire|-1, negated, const_val)."""
+        n_waves = int(self._lib.circ_schedule(self._h))
+        waves = []
+        cap = max(1, int(self._lib.circ_n_gates(self._h)))
+        buf = (ctypes.c_int32 * cap)()
+        kind = ctypes.c_int32()
+        info = (ctypes.c_int32 * 5)()
+        for i in range(n_waves):
+            cnt = int(self._lib.circ_wave(self._h, i, ctypes.byref(kind),
+                                          buf, cap))
+            assert cnt >= 0, cnt
+            gates = []
+            for g in buf[:cnt]:
+                self._lib.circ_gate_info(self._h, g, info)
+                gates.append((self._wire_ref(info[1]),
+                              self._wire_ref(info[2]),
+                              self._wire_ref(info[3]), int(info[4])))
+            waves.append((_KIND_NAMES[kind.value], gates))
+        return waves
+
+    def _wire_ref(self, wire: int):
+        if wire < 0:
+            return None
+        out = (ctypes.c_int32 * 3)()
+        self._lib.circ_wire_ref(self._h, wire, out)
+        return (int(out[0]), bool(out[1]), bool(out[2]))
+
+    def resolve(self, wire: int):
+        """Public wire reference for reading outputs."""
+        return self._wire_ref(wire)
+
+
+def evaluate(circ: Circuit, inputs, ck_data, params, outputs,
+             backend: str = "matmul"):
+    """Run the circuit homomorphically.
+
+    inputs:  (n_inputs, n+1) LWE batch (one ciphertext per input wire).
+    outputs: list of wire ids to return.
+    Returns (len(outputs), n+1) LWE array.
+
+    Each wave is ONE batched gate call; wave widths amortize the fused
+    blind-rotation launch over all independent gates of that kind.
+    """
+    from tfhe_tpu.boot import gate
+
+    inputs = jnp.asarray(inputs)
+    n = params.lwe.n
+    store = {}                                   # base wire -> ciphertext
+    for i in range(circ.n_inputs):
+        store[i] = inputs[i]
+
+    def fetch(ref):
+        base, neg, cval = ref
+        if base < 0:
+            ct = gate._trivial(gate.MU_BOOL if cval else -gate.MU_BOOL, n)
+        else:
+            ct = store[base]
+        return -ct if neg else ct
+
+    binop = {"and": gate.gate_and, "or": gate.gate_or, "xor": gate.gate_xor,
+             "nand": gate.gate_nand, "nor": gate.gate_nor,
+             "xnor": gate.gate_xnor}
+    for kind, gates in circ.schedule():
+        if kind == "mux":
+            c = jnp.stack([fetch(g[0]) for g in gates])
+            x = jnp.stack([fetch(g[1]) for g in gates])
+            y = jnp.stack([fetch(g[2]) for g in gates])
+            res = gate.gate_mux(ck_data, c, x, y, params, backend)
+        else:
+            a = jnp.stack([fetch(g[0]) for g in gates])
+            b = jnp.stack([fetch(g[1]) for g in gates])
+            res = binop[kind](ck_data, a, b, params, backend)
+        for i, g in enumerate(gates):
+            store[g[3]] = res[i]
+
+    outs = []
+    for w in outputs:
+        outs.append(fetch(circ.resolve(w)))
+    return jnp.stack(outs)

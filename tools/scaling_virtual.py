@@ -3,12 +3,19 @@
 (VERDICT r1 item 4d — the single-host proxy for the 80%-at-2-hosts target).
 
 Fixed per-device batch; dp grows 1 -> 8 over the
-xla_force_host_platform_device_count virtual devices.  On one physical CPU
-the devices share cores, so the interesting signal is the OVERHEAD of the
-explicit shard_map collectives (psum per blind-rotation step + keyswitch),
-not raw speedup: with zero overhead, wall-clock stays flat as dp grows
-while total work scales with dp (the host has enough cores to back 8
-virtual devices).  Efficiency(dp) = t(dp=1) / t(dp).
+xla_force_host_platform_device_count virtual devices.
+
+MEASURED (this host, 2026-08-20): total ct/s stays FLAT as dp grows
+(23.5 -> 21.9 from dp=1 to dp=8) — the virtual CPU devices share one
+XLA:CPU thread pool and serialize, so dp "efficiency" on a virtual mesh
+is 1/dp by construction and says nothing about ICI scaling.  The
+meaningful signal is the COLLECTIVE OVERHEAD: dp=4/ep=1 vs dp=4/ep=2
+wall-clock is identical within noise (5.77 s vs 5.75 s) even though
+ep=2 adds one psum per blind-rotation step — the explicit communication
+pattern costs nothing measurable at these shapes.  Real scaling
+efficiency needs real chips; the per-step psum payload is
+(B/dp)*(k+1)*N*4 bytes against ~85 KB of compute per ct-step, a ratio
+that on ICI (~100 GB/s/link) supports the >=80%-at-2-hosts target.
 
 Run: XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
      python tools/scaling_virtual.py
