@@ -85,3 +85,23 @@ def test_mux_chain_evaluates():
         dec = gate.decrypt_bool(sk, out)
         want = bits[1] if sel else bits[2]
         assert dec[0] == want and dec[1] == (not want)
+
+
+def test_observability_records_waves():
+    from tfhe_tpu.utils import observability as obs
+    from tfhe_tpu.runtime import Circuit, evaluate
+    obs.reset()
+    p = GATE_TOY
+    rng = TfheRng(11)
+    sk = gate.SecretKey.generate(p, rng)
+    ck = gate.CloudKey.generate(sk, rng, backend="onthefly")
+    circ = Circuit(2)
+    g1 = circ.and_(0, 1)
+    g2 = circ.xor(0, 1)
+    ct = gate.encrypt_bool(sk, np.array([True, False]), rng)
+    evaluate(circ, ct, ck.data, p, [g1, g2], backend="onthefly")
+    rep = obs.report()
+    assert rep["counters"]["circuit.waves"] == 2
+    assert rep["counters"]["circuit.gates"] == 2
+    assert "circuit.wave.and" in rep["spans"]
+    assert rep["observations"]["circuit.wave_width"]["max"] == 1.0

@@ -124,6 +124,7 @@ def evaluate(circ: Circuit, inputs, ck_data, params, outputs,
     blind-rotation launch over all independent gates of that kind.
     """
     from tfhe_tpu.boot import gate
+    from tfhe_tpu.utils import observability as obs
 
     inputs = jnp.asarray(inputs)
     n = params.lwe.n
@@ -143,17 +144,21 @@ def evaluate(circ: Circuit, inputs, ck_data, params, outputs,
              "nand": gate.gate_nand, "nor": gate.gate_nor,
              "xnor": gate.gate_xnor}
     for kind, gates in circ.schedule():
-        if kind == "mux":
-            c = jnp.stack([fetch(g[0]) for g in gates])
-            x = jnp.stack([fetch(g[1]) for g in gates])
-            y = jnp.stack([fetch(g[2]) for g in gates])
-            res = gate.gate_mux(ck_data, c, x, y, params, backend)
-        else:
-            a = jnp.stack([fetch(g[0]) for g in gates])
-            b = jnp.stack([fetch(g[1]) for g in gates])
-            res = binop[kind](ck_data, a, b, params, backend)
-        for i, g in enumerate(gates):
-            store[g[3]] = res[i]
+        obs.count("circuit.gates", len(gates))
+        obs.count("circuit.waves")
+        obs.observe("circuit.wave_width", len(gates))
+        with obs.span(f"circuit.wave.{kind}"):
+            if kind == "mux":
+                c = jnp.stack([fetch(g[0]) for g in gates])
+                x = jnp.stack([fetch(g[1]) for g in gates])
+                y = jnp.stack([fetch(g[2]) for g in gates])
+                res = gate.gate_mux(ck_data, c, x, y, params, backend)
+            else:
+                a = jnp.stack([fetch(g[0]) for g in gates])
+                b = jnp.stack([fetch(g[1]) for g in gates])
+                res = binop[kind](ck_data, a, b, params, backend)
+            for i, g in enumerate(gates):
+                store[g[3]] = res[i]
 
     outs = []
     for w in outputs:
