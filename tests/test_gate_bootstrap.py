@@ -39,6 +39,10 @@ def test_bootstrap_refreshes_sign(keys):
     (gate.gate_nor,  [1, 0, 0, 0]),
     (gate.gate_xor,  [0, 1, 1, 0]),
     (gate.gate_xnor, [1, 0, 0, 1]),
+    (gate.gate_andny, [0, 1, 0, 0]),   # (NOT x) AND y
+    (gate.gate_andyn, [0, 0, 1, 0]),   # x AND (NOT y)
+    (gate.gate_orny,  [1, 1, 0, 1]),   # (NOT x) OR y
+    (gate.gate_oryn,  [1, 0, 1, 1]),   # x OR (NOT y)
 ])
 def test_binary_gates(keys, g, table):
     sk, ck = keys

@@ -181,6 +181,40 @@ def gate_not(x):
     return -jnp.asarray(x)
 
 
+def gate_constant(value, n: int):
+    """Noiseless trivial sample of a known bit (upstream bootsCONSTANT)."""
+    return _trivial(MU_BOOL if value else -MU_BOOL, n)
+
+
+def gate_copy(x):
+    """Upstream bootsCOPY (no bootstrap)."""
+    return jnp.asarray(x)
+
+
+def gate_andny(ck_data, x, y, params, backend="matmul"):
+    """(NOT x) AND y (upstream bootsANDNY)."""
+    t = _trivial(-MU_BOOL, params.lwe.n) - x + y
+    return bootstrap(t, ck_data, params, MU_BOOL, backend)
+
+
+def gate_andyn(ck_data, x, y, params, backend="matmul"):
+    """x AND (NOT y) (upstream bootsANDYN)."""
+    t = _trivial(-MU_BOOL, params.lwe.n) + x - y
+    return bootstrap(t, ck_data, params, MU_BOOL, backend)
+
+
+def gate_orny(ck_data, x, y, params, backend="matmul"):
+    """(NOT x) OR y (upstream bootsORNY)."""
+    t = _trivial(MU_BOOL, params.lwe.n) - x + y
+    return bootstrap(t, ck_data, params, MU_BOOL, backend)
+
+
+def gate_oryn(ck_data, x, y, params, backend="matmul"):
+    """x OR (NOT y) (upstream bootsORYN)."""
+    t = _trivial(MU_BOOL, params.lwe.n) + x - y
+    return bootstrap(t, ck_data, params, MU_BOOL, backend)
+
+
 def gate_mux(ck_data, c, x, y, params, backend="matmul"):
     """MUX(c, x, y) = c ? x : y via two bootstraps + keyswitched sum
     (upstream bootsMUX structure)."""
