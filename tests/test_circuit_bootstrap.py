@@ -104,3 +104,18 @@ def test_shared_rotation_matches_per_level(keys):
     ph_b = np.asarray(tgsw.tgsw_phase(g_sep, sk.ring_lvl1)).astype(np.int64)
     d = np.abs(((ph_a - ph_b + 2**31) % 2**32) - 2**31)
     assert d.max() < 2**22
+
+
+def test_staged_matches_monolithic(keys):
+    """make_circuit_bootstrap_staged (the accelerator compile path) is
+    bit-identical to circuit_bootstrap for both rotation modes."""
+    sk, ck = keys
+    p = CB_TOY
+    rng = TfheRng(23)
+    ct = _encrypt_bits(sk, np.array([1, 0]), rng)
+    for sr in (True, False):
+        want = np.asarray(circuit.circuit_bootstrap(
+            ct, ck.data, p, backend="conv", shared_rotation=sr))
+        got = np.asarray(circuit.make_circuit_bootstrap_staged(
+            p, backend="conv", shared_rotation=sr)(ct, ck.data))
+        np.testing.assert_array_equal(got, want)

@@ -229,3 +229,76 @@ def make_circuit_bootstrap_fn(p: CircuitParams, backend: str = "conv",
     return jax.jit(functools.partial(
         circuit_bootstrap, p=p, backend=backend,
         shared_rotation=shared_rotation, unroll=unroll))
+
+
+def make_circuit_bootstrap_staged(p: CircuitParams, backend: str = "conv",
+                                  shared_rotation: bool | None = None,
+                                  unroll: int = 1):
+    """Staged-compile circuit bootstrap for accelerators.
+
+    The monolithic jit of `circuit_bootstrap` inlines ell1 500-step scans
+    plus 2*ell1 privKS contractions into ONE XLA program — measured 30+ min
+    of AOT compile at CB_ACTIVE over the remote-compile path.  This variant
+    compiles three small programs instead, each reused across loop
+    iterations by passing the varying piece (test-vector amplitude mu2,
+    privKS matrix slice) as an argument:
+
+      A. preKS + mod switch            (samples -> abar, bbar)
+      B. blind rotation + extract      (one compile serves all ell1 levels)
+      C. private functional key switch (one compile serves both z blocs)
+
+    Returns fn(samples, key_data) -> TRGSW batch, same semantics as
+    `circuit_bootstrap`.
+    """
+    N2 = p.n_lvl2
+    k = p.lvl1.k
+    ell1, bgbit1 = p.tgsw_lvl1.l, p.tgsw_lvl1.bgbit
+    if shared_rotation is None:
+        from tfhe_tpu import noise
+        shared_rotation = (noise.shared_rotation_penalty(p)
+                           <= noise.SHARED_ROTATION_MAX_PENALTY)
+
+    @jax.jit
+    def stage_a(samples, preks_w):
+        preks = lwe.KeySwitchKey(p.ks10, p.n_lvl1, p.n_lvl0, preks_w)
+        x0 = lwe.keyswitch(samples, preks)
+        abar = T.mod_switch_from_torus32(x0[..., :-1], 2 * N2)
+        bbar = T.mod_switch_from_torus32(x0[..., -1], 2 * N2)
+        return abar, bbar
+
+    @jax.jit
+    def stage_b(bk, abar, bbar, mu2):
+        tv = jnp.concatenate([
+            jnp.full((N2 // 2,), -1, jnp.int64),
+            jnp.full((N2 // 2,), 1, jnp.int64)]) * mu2
+        ext = br.rotate_and_extract(tv, bk, bbar, abar, p.tgsw_lvl2,
+                                    backend, unroll)
+        return ext.at[..., -1].add(mu2)
+
+    @jax.jit
+    def stage_c(ext, pk_w_z):
+        pksk = PrivKeySwitchKey(p.ks21, p.n_lvl2, k, p.n_lvl1,
+                                pk_w_z[None])
+        return priv_keyswitch(ext, pksk, 0)
+
+    def fn(samples, key_data):
+        abar, bbar = stage_a(samples, key_data["preks"])
+        if shared_rotation:
+            mu2 = np.int64(1) << (63 - ell1 * bgbit1)
+            base = stage_b(key_data["bk"], abar, bbar, jnp.int64(mu2))
+            exts = [(base.astype(jnp.int64) << (bgbit1 * (ell1 - 1 - w)))
+                    for w in range(ell1)]
+        else:
+            exts = [stage_b(key_data["bk"], abar, bbar,
+                            jnp.int64(np.int64(1) << (63 - (w + 1) * bgbit1)))
+                    for w in range(ell1)]
+        rows = []
+        for w, ext in enumerate(exts):
+            for z in range(k + 1):
+                rows.append(stage_c(ext, key_data["privks"][z]))
+        out = jnp.stack(rows, axis=-3)
+        B = out.shape[:-3]
+        out = out.reshape(*B, ell1, k + 1, k + 1, p.n_lvl1)
+        return jnp.swapaxes(out, -4, -3)
+
+    return fn

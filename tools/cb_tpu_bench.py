@@ -34,9 +34,24 @@ dev = jax.devices()[0]
 
 t0 = time.time()
 rng = TfheRng(0)
+cache = os.environ.get("CB_KEYCACHE", "/tmp/cb_keys_%s_%s.npz"
+                       % (os.environ.get("CB_PARAMS", "active"), backend))
 sk = circuit.CircuitSecretKey.generate(p, rng)
-ck = circuit.CircuitCloudKey.generate(sk, rng, backend=backend)
-key_data = ck.data
+if cache and os.path.exists(cache):
+    import jax.numpy as _jnp
+    z = np.load(cache)
+    key_data = {"preks": jnp.asarray(z["preks"]),
+                "bk": {"k": jnp.asarray(z["bk_k"])},
+                "privks": jnp.asarray(z["privks"])}
+    # rng state advanced identically? not needed: sk regenerated above is
+    # deterministic (same seed) and key material is loaded verbatim.
+else:
+    ck = circuit.CircuitCloudKey.generate(sk, rng, backend=backend)
+    key_data = ck.data
+    if cache:
+        np.savez(cache, preks=np.asarray(key_data["preks"]),
+                 bk_k=np.asarray(key_data["bk"]["k"]),
+                 privks=np.asarray(key_data["privks"]))
 keygen_s = time.time() - t0
 print(f"# keygen {keygen_s:.1f}s", file=sys.stderr, flush=True)
 
@@ -44,8 +59,8 @@ bits = np.random.default_rng(1).integers(0, 2, B)
 msgs = np.where(bits.astype(bool), np.int32(-(1 << 31)), 0).astype(np.int32)
 ct = lwe.encrypt(sk.lwe_lvl1, msgs, rng, 2.0**-20)
 
-fn = circuit.make_circuit_bootstrap_fn(p, backend=backend,
-                                       shared_rotation=None)
+fn = circuit.make_circuit_bootstrap_staged(p, backend=backend,
+                                           shared_rotation=None)
 t0 = time.time()
 gsw = fn(ct, key_data)
 jax.device_get(gsw[0, 0, 0, 0, :4])
