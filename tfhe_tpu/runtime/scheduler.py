@@ -28,12 +28,13 @@ _KIND_NAMES = {v: k for k, v in _KINDS.items()}
 
 
 def _lib():
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.dirname(os.path.abspath(__file__)))), "native",
-        "libcircuit_sched.so")
+    native = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), "native")
+    path = os.path.join(native, "libcircuit_sched.so")
     if not os.path.exists(path):
-        raise RuntimeError(
-            "native/libcircuit_sched.so not built (run `make -C native`)")
+        import subprocess
+        subprocess.run(["make", "-C", native, "libcircuit_sched.so"],
+                       check=True, capture_output=True)
     lib = ctypes.CDLL(path)
     lib.circ_new.restype = ctypes.c_int32
     lib.circ_gate.restype = ctypes.c_int32
