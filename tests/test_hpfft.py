@@ -145,3 +145,15 @@ def test_negacyclic_product_vs_exact(limbs):
     diff = got - exact                       # int64 wrap = torus distance
     tol = 20000 * N // 16
     assert np.abs(diff).max() < tol, np.abs(diff).max()
+
+
+def test_gmp_sweep_params_match_reference_derivation():
+    """bench_fft_gmp.cpp:16-25 at its default ALPHA_BITS=60 and two sweep
+    points: MIN_N=1000*ALPHA/35, N=2^ceil(log2), FPREC=ALPHA+4, IPREC=FPREC/2."""
+    from tfhe_tpu.ops.hpfft import gmp_sweep_params
+    p = gmp_sweep_params(60)
+    assert (p["min_n"], p["N"], p["fprec"], p["iprec"]) == (1714, 2048, 64, 32)
+    p = gmp_sweep_params(35)
+    assert (p["min_n"], p["N"], p["fprec"], p["iprec"]) == (1000, 1024, 39, 19)
+    p = gmp_sweep_params(120)
+    assert p["N"] == 4096 and p["limbs"] == 12

@@ -366,3 +366,23 @@ def naive_eval(coefs: np.ndarray) -> np.ndarray:
     k = np.arange(N)[:, None]
     w = np.exp(1j * np.pi * (2 * k + 1) * np.arange(N)[None, :] / N)
     return (coefs.astype(np.float64)[None, :] * w).sum(axis=1) / 2.0**64
+
+
+def gmp_sweep_params(alpha_bits: int):
+    """Precision-sweep parameter derivation of the GMP/MPFR study
+    (bench_fft_gmp.cpp:16-25): noise parameter alpha = 2^-alpha_bits
+    determines the minimal ring size and the required fixed-point widths.
+
+    Returns dict(alpha_bits, min_n, log2n, N, fprec, iprec, limbs) where
+    `limbs` is the 16-bit limb count covering fprec+iprec bits in this
+    module's representation (the ALPHA_BITS -> limbs axis of the sweep).
+    """
+    import math
+    min_n = 1000 * alpha_bits // 35
+    log2n = int(math.ceil(math.log2(min_n)))
+    N = 1 << log2n
+    fprec = alpha_bits + 4
+    iprec = fprec // 2
+    limbs = -(-(fprec + iprec) // 16)
+    return {"alpha_bits": alpha_bits, "min_n": min_n, "log2n": log2n,
+            "N": N, "fprec": fprec, "iprec": iprec, "limbs": limbs}
