@@ -238,6 +238,15 @@ GATE_DEFAULT = GateParams(
 # rotation (measured ~2^-6 rms output noise with ZERO key noise, ~40x the
 # independent-tail model), leaving no gate margin at a 1/16 amplitude.
 # Keep l*bgbit >= 21 for torus32 accumulators.
+#
+# Round-2 re-test WITH real key noise (tools/gadget_ab.py, v5e hardware,
+# B=4096): still rejected — output rms 0.038 vs the worksheet's 0.009
+# (4.1x), 4/4096 gate failures at n=500 and at n=630.  The tail error is
+# feedback, not fresh noise: the test-vector part of the accumulator has
+# zero low bits, so each step's rounding error is exactly -(low bits of
+# the accumulated noise), correlated across all n steps.  Key noise
+# (2^-25) sits at the same magnitude as the 2^-17-per-step tail only
+# after hundreds of steps, too late to decorrelate the early trajectory.
 GATE_FAST = GateParams(
     lwe=LweParams(n=500, stdev=2.0**-14),
     tgsw=TGswParams(l=3, bgbit=7, tlwe=TLweParams(N=1024, k=1, stdev=2.0**-25, bits=32)),
