@@ -119,3 +119,34 @@ def test_staged_matches_monolithic(keys):
         got = np.asarray(circuit.make_circuit_bootstrap_staged(
             p, backend="conv", shared_rotation=sr)(ct, ck.data))
         np.testing.assert_array_equal(got, want)
+
+
+def test_cb_mxu_gadget_geometry():
+    """The CB_MXU lvl2 gadget (Bg=2^8/l=5, single int8 digit plane,
+    6-limb truncated bk — params.py CB_MXU) bootstraps correctly at toy
+    ring sizes with the onthefly engine, the production TPU formulation."""
+    from tfhe_tpu.params import make_circuit_params
+    from tfhe_tpu.boot import probe
+
+    p = make_circuit_params(
+        n_lvl0=12, n_lvl1=64, n_lvl2=128,
+        bgbit_lvl1=8, ell_lvl1=2, bgbit_lvl2=8, ell_lvl2=5,
+        bk_stdev=2.0**-50,
+        ks_stdev_10=2.0**-25, ks_len_10=6, ks_basebit_10=2,
+        ks_stdev_21=2.0**-31, ks_len_21=10, ks_basebit_21=3,
+        bk_limbs=6,
+    )
+    assert p.tgsw_lvl2.key_limbs == 6
+    from tfhe_tpu.ops.engine import EngineConfig
+    cfg = EngineConfig(N=128, out_bits=64, digit_bits=8, key_limbs=6)
+    assert cfg.plane_split == (8, 1)          # single int8 plane (vs 2 at bg=9)
+
+    rng = TfheRng(7)
+    sk = circuit.CircuitSecretKey.generate(p, rng)
+    ck = circuit.CircuitCloudKey.generate(sk, rng, backend="onthefly")
+    bits = np.array([0, 1, 1, 0])
+    ct = _encrypt_bits(sk, bits, rng)
+    gsw = circuit.circuit_bootstrap(ct, ck.data, p, backend="onthefly")
+    _, max_dev = probe.probe_tgsw_rows(np.asarray(gsw), sk.ring_lvl1,
+                                       p.tgsw_lvl1, message=bits)
+    assert float(max_dev) < 2.0**-8

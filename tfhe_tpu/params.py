@@ -166,7 +166,8 @@ class CircuitParams:
 
 def make_circuit_params(n_lvl0, n_lvl1, n_lvl2, bgbit_lvl1, ell_lvl1, bgbit_lvl2,
                         ell_lvl2, bk_stdev, ks_stdev_10, ks_len_10, ks_basebit_10,
-                        ks_stdev_21, ks_len_21, ks_basebit_21) -> CircuitParams:
+                        ks_stdev_21, ks_len_21, ks_basebit_21,
+                        bk_limbs=0) -> CircuitParams:
     lvl1 = TLweParams(N=n_lvl1, k=1, stdev=ks_stdev_21, bits=32)
     lvl2 = TLweParams(N=n_lvl2, k=1, stdev=bk_stdev, bits=64)
     return CircuitParams(
@@ -174,7 +175,8 @@ def make_circuit_params(n_lvl0, n_lvl1, n_lvl2, bgbit_lvl1, ell_lvl1, bgbit_lvl2
         lvl1=lvl1,
         lvl2=lvl2,
         tgsw_lvl1=TGswParams(l=ell_lvl1, bgbit=bgbit_lvl1, tlwe=lvl1),
-        tgsw_lvl2=TGswParams(l=ell_lvl2, bgbit=bgbit_lvl2, tlwe=lvl2),
+        tgsw_lvl2=TGswParams(l=ell_lvl2, bgbit=bgbit_lvl2, tlwe=lvl2,
+                             key_limbs=bk_limbs),
         bk_stdev=bk_stdev,
         ks10=KeySwitchParams(t=ks_len_10, basebit=ks_basebit_10, stdev=ks_stdev_10),
         ks21=KeySwitchParams(t=ks_len_21, basebit=ks_basebit_21, stdev=ks_stdev_21),
@@ -193,6 +195,30 @@ CB_ACTIVE = make_circuit_params(
     bk_stdev=2.0**-44,
     ks_stdev_10=2.0**-14, ks_len_10=6, ks_basebit_10=2,
     ks_stdev_21=2.0**-31, ks_len_21=10, ks_basebit_21=3,
+)
+
+# MXU-shaped circuit-bootstrapping block.  Two TPU-first changes vs
+# CB_ACTIVE, both STRICT noise improvements (noise.circuit_bootstrap_
+# variances: final variance 2^-47.4 vs 2^-47.1, lvl1 depth 2196 vs 1834):
+#
+#   * lvl2 gadget Bg=2^9/l=4 -> Bg=2^8/l=5.  The reference picked l=4 to
+#     save one iFFT per decomposition on a CPU where doubles hold 9-bit
+#     digits natively (poc_CircuitBootstrapping.cpp:70-85).  On the int8
+#     MXU a 9-bit digit needs TWO signed planes (engine.plane_split) while
+#     an 8-bit digit needs one, so l=5/Bg=2^8 runs 10 digit planes instead
+#     of 16 — 1.6x fewer MACs — with a 4x smaller beta^2 amplification and
+#     a 2^-41 decomposition tail (vs 2^-37).
+#   * bootstrapping key truncated to 6 int8 limbs (top 48 of 64 bits).
+#     Truncation noise 2^15/(sqrt(3)*2^64) = 2^-49.8 per coefficient vs
+#     the 2^-44 fresh bk noise: effective stdev 2^-44.00 (unchanged to 2
+#     decimals) for 25% fewer MACs than the full 8-limb key.
+CB_MXU = make_circuit_params(
+    n_lvl0=500, n_lvl1=1024, n_lvl2=2048,
+    bgbit_lvl1=8, ell_lvl1=2, bgbit_lvl2=8, ell_lvl2=5,
+    bk_stdev=2.0**-44,
+    ks_stdev_10=2.0**-14, ks_len_10=6, ks_basebit_10=2,
+    ks_stdev_21=2.0**-31, ks_len_21=10, ks_basebit_21=3,
+    bk_limbs=6,
 )
 
 # Alternative blocks kept for parity with the reference's #if chain.

@@ -22,13 +22,14 @@ import jax
 jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 
-from tfhe_tpu.params import CB_ACTIVE, CB_TOY
+from tfhe_tpu.params import CB_ACTIVE, CB_MXU, CB_TOY
 from tfhe_tpu.rng import TfheRng
 from tfhe_tpu import lwe, tlwe, tgsw
 from tfhe_tpu.boot import circuit, probe
 
 B = int(os.environ.get("CB_BATCH", 32))
-p = {"active": CB_ACTIVE, "toy": CB_TOY}[os.environ.get("CB_PARAMS", "active")]
+p = {"active": CB_ACTIVE, "mxu": CB_MXU,
+     "toy": CB_TOY}[os.environ.get("CB_PARAMS", "active")]
 backend = os.environ.get("CB_BACKEND", "conv")
 dev = jax.devices()[0]
 
@@ -38,10 +39,11 @@ cache = os.environ.get("CB_KEYCACHE", "/tmp/cb_keys_%s_%s.npz"
                        % (os.environ.get("CB_PARAMS", "active"), backend))
 sk = circuit.CircuitSecretKey.generate(p, rng)
 if cache and os.path.exists(cache):
-    import jax.numpy as _jnp
+    # bk is an engine-prepared pytree; leaves saved as bk_<key> arrays
     z = np.load(cache)
     key_data = {"preks": jnp.asarray(z["preks"]),
-                "bk": {"k": jnp.asarray(z["bk_k"])},
+                "bk": {k[3:]: jnp.asarray(z[k]) for k in z.files
+                       if k.startswith("bk_")},
                 "privks": jnp.asarray(z["privks"])}
     # rng state advanced identically? not needed: sk regenerated above is
     # deterministic (same seed) and key material is loaded verbatim.
@@ -50,8 +52,9 @@ else:
     key_data = ck.data
     if cache:
         np.savez(cache, preks=np.asarray(key_data["preks"]),
-                 bk_k=np.asarray(key_data["bk"]["k"]),
-                 privks=np.asarray(key_data["privks"]))
+                 privks=np.asarray(key_data["privks"]),
+                 **{"bk_" + k: np.asarray(v)
+                    for k, v in key_data["bk"].items()})
 keygen_s = time.time() - t0
 print(f"# keygen {keygen_s:.1f}s", file=sys.stderr, flush=True)
 
