@@ -9,7 +9,9 @@ reference itself is a single-core CPU PoC at ~137 ms per *circuit* bootstrap
 and publishes no gate-bootstrap throughput).
 
 Environment overrides:
-  BENCH_BATCH   ciphertext batch per measurement (default 4096 on TPU)
+  BENCH_BATCH   ciphertext batch per measurement (default 8192 on TPU: the
+                throughput knee — 10.1k ct/s vs 9.7k at 4096; 16384 exceeds
+                the fused kernel's 16 MB VMEM budget at tm=256)
   BENCH_STEPS   override blind-rotation step count (default: full n)
   BENCH_REPS    timing repetitions (default 3)
   BENCH_BACKEND negacyclic engine backend (default "onthefly")
@@ -46,7 +48,7 @@ def main():
                   "default": GATE_FAST2, "mxu": GATE_MXU,
                   "mxu2": GATE_MXU2, "fast2": GATE_FAST2}[
                       os.environ.get("BENCH_PARAMS", "default")]
-        batch = int(os.environ.get("BENCH_BATCH", 4096))
+        batch = int(os.environ.get("BENCH_BATCH", 8192))
     else:
         # CPU smoke configuration (drivers without a TPU attached)
         params = GateParams(
