@@ -180,10 +180,16 @@ class _EngineBase:
         import jax as _jax
         cfg = self.cfg
         B = acc.shape[0]
+        # N <= 512: the kernel streams 2 (double-buffered) x num_limbs key
+        # blocks of N x (k+1)N int8 through VMEM; at N=1024/k=1 that is
+        # 12.6 of the 16 MB budget and the measured step is 1.9x SLOWER
+        # than the separate rotate_decompose + mm_recombine kernels
+        # (1,864 vs 3,842 ct/s full-bootstrap, v5e) — starved pipelining,
+        # not compute.  The rank-2/N=512 production sets stay fused.
         if not (_jax.default_backend() == "tpu" and cfg.out_bits == 32
                 and cfg.kbits == 32 and cfg.plane_split[1] == 1
                 and bgbit <= 8 and cfg.num_limbs <= 3 and acc.ndim == 3
-                and B % tm == 0):
+                and B % tm == 0 and acc.shape[-1] <= 512):
             return None
         from tfhe_tpu.ops.pallas_kernels import fused_cmux_step_v2
         return fused_cmux_step_v2(a, acc, w, l=l, bgbit=bgbit, offset=offset,
