@@ -103,3 +103,26 @@ def test_external_product_64():
         out = tgsw.external_product(v, prep, p, "conv")
         ph = tlwe.tlwe_phase(out, key)
         assert _phase_err(ph, bit * msg[None]) < 2**(64 - 37) * 70, bit
+
+
+def test_host_keygen_fft_path_exact():
+    """The numpy-FFT keygen fast path (tlwe._host_key_times_fft) is
+    bit-identical to the exact limb-matmul engine for binary keys at both
+    torus widths, including the 64-bit hi/lo-limb recombination."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tfhe_tpu.params import TLweParams
+    from tfhe_tpu import tlwe
+    from tfhe_tpu.rng import TfheRng
+
+    for bits, N, k in [(32, 256, 1), (32, 128, 2), (64, 256, 1)]:
+        p = TLweParams(N=N, k=k, stdev=0.0, bits=bits)
+        key = tlwe.TLweKey.generate(p, TfheRng(1))
+        r = np.random.default_rng(0)
+        dt = np.int32 if bits == 32 else np.int64
+        x = r.integers(-2**(bits - 1), 2**(bits - 1), (5, k, N)).astype(dt)
+        fast = np.asarray(tlwe._host_key_times_fft(key.key, x, bits))
+        eng, prep = key.engine()
+        slow = np.asarray(eng.accumulate(jnp.asarray(x), prep))[..., 0, :]
+        assert fast.dtype == slow.dtype
+        assert np.array_equal(fast, slow), (bits, N, k)

@@ -13,12 +13,49 @@ from __future__ import annotations
 import dataclasses
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from tfhe_tpu.params import TLweParams
 from tfhe_tpu.rng import TfheRng
 from tfhe_tpu.ops.engine import EngineConfig, make_engine
 from tfhe_tpu.ops import poly
+
+
+def _host_key_times_fft(key, x, bits):
+    """Exact sum_i s_i (*) x[..., i, :] on the host via numpy real FFTs.
+
+    Keygen fast path (concrete arrays only): with a BINARY key the true
+    integer convolution coefficients are bounded by N * 2^32 <= 2^43
+    (per 32-bit limb), far inside float64's 2^53 exact-integer range, and
+    the length-2N cyclic FFT's rounding error (~2^43 * 11 * 2^-52 ~ 2e-2)
+    stays below the 0.5 rounding threshold — so rint() recovers the exact
+    product.  ~30x faster than driving the int8-limb matmul engine on
+    CPU for the 327,840 privKS encryptions (circuit.PrivKeySwitchKey).
+    """
+    try:                                 # scipy: multithreaded pocketfft
+        import scipy.fft as _fft
+        _kw = {"workers": -1}
+    except ImportError:                  # pragma: no cover
+        _fft, _kw = np.fft, {}
+    key = np.asarray(key)
+    k, N = key.shape
+    assert key.min() >= 0 and key.max() <= 1, "fast path requires binary keys"
+    sf = _fft.rfft(key.astype(np.float64), 2 * N, axis=-1, **_kw)  # (k, N+1)
+
+    def conv(limb):                      # limb: (..., k, N) float64
+        xf = _fft.rfft(limb, 2 * N, axis=-1, **_kw)
+        cf = np.einsum("...kn,kn->...n", xf, sf)
+        c = _fft.irfft(cf, 2 * N, axis=-1, **_kw)
+        c = np.rint(c[..., :N] - c[..., N:]).astype(np.int64)  # negacyclic
+        return c
+
+    if bits == 32:
+        return conv(x.astype(np.int32).astype(np.float64)).astype(np.int32)
+    xu = x.astype(np.int64).astype(np.uint64)
+    lo = conv((xu & np.uint64(0xFFFFFFFF)).astype(np.float64)).astype(np.uint64)
+    hi = conv((xu >> np.uint64(32)).astype(np.float64)).astype(np.uint64)
+    return (lo + (hi << np.uint64(32))).astype(np.int64)
 
 
 @dataclasses.dataclass
@@ -49,6 +86,9 @@ class TLweKey:
 
     def key_times(self, x):
         """sum_i s_i (*) x[..., i, :] for x (..., k, N) torus."""
+        if not isinstance(x, jax.core.Tracer):
+            return jnp.asarray(_host_key_times_fft(
+                np.asarray(self.key), np.asarray(x), self.params.bits))
         eng, prep = self.engine()
         return eng.accumulate(x, prep)[..., 0, :]
 
