@@ -1,0 +1,185 @@
+"""Chunked-key 64-bit external-product path (the lvl2 circuit-bootstrap hot
+loop, poc_CircuitBootstrapping.cpp:580-642, rebuilt as pre-shifted-key MXU
+matmuls + i64pair arithmetic).
+
+Layers checked bit-exactly, bottom-up:
+  * i64pair primitives vs numpy int64
+  * ChunkedEngine.accumulate vs the NaiveEngine oracle (32- and 64-bit,
+    plane-split digits, key_limbs truncation)
+  * rotate_decompose64 (interpret) vs mul_by_xai_minus_one + decompose_tlwe
+  * ck_dot64 (interpret) vs ChunkedEngine._fold_dot
+  * the full cmux_pair_step composition vs the generic engine CMux
+  * blind_rotate at CB_TOY-scale lvl2 params: chunked backend == naive
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tfhe_tpu.params import TGswParams, TLweParams
+from tfhe_tpu import tlwe, tgsw
+from tfhe_tpu.ops.decomp import decompose_tlwe
+from tfhe_tpu.ops.engine import (EngineConfig, ChunkedEngine, NaiveEngine,
+                                 _key_rounded)
+from tfhe_tpu.ops import i64pair
+from tfhe_tpu.ops.pallas_kernels import rotate_decompose64, ck_dot64
+
+
+def test_i64pair_primitives():
+    r = np.random.default_rng(0)
+    x = r.integers(-2**63, 2**63, 5000).astype(np.int64)
+    y = r.integers(-2**63, 2**63, 5000).astype(np.int64)
+    xl, xh = i64pair.from_i64(jnp.asarray(x))
+    yl, yh = i64pair.from_i64(jnp.asarray(y))
+    np.testing.assert_array_equal(np.asarray(i64pair.to_i64(xl, xh)), x)
+    np.testing.assert_array_equal(
+        np.asarray(i64pair.to_i64(*i64pair.add(xl, xh, yl, yh))), x + y)
+    np.testing.assert_array_equal(
+        np.asarray(i64pair.to_i64(*i64pair.sub(xl, xh, yl, yh))), x - y)
+    np.testing.assert_array_equal(
+        np.asarray(i64pair.to_i64(*i64pair.neg(xl, xh))), -x)
+    c = int(r.integers(0, 2**64, dtype=np.uint64))
+    np.testing.assert_array_equal(
+        np.asarray(i64pair.to_i64(*i64pair.add_const(xl, xh, c))),
+        x + np.uint64(c).astype(np.int64))
+    z = r.integers(-2**31, 2**31, 5000).astype(np.int32)
+    for s in (0, 5, 16, 24, 31, 32, 40, 56):
+        got = np.asarray(i64pair.to_i64(*i64pair.shift_left_i32(
+            jnp.asarray(z), s)))
+        np.testing.assert_array_equal(got, z.astype(np.int64) << s, err_msg=str(s))
+    for bg, sh in [(8, 24), (8, 56), (9, 28), (9, 55), (9, 37)]:
+        got = np.asarray(i64pair.extract_digit(xl, xh, sh, bg))
+        want = (((x.astype(np.uint64) >> np.uint64(sh))
+                 & np.uint64((1 << bg) - 1)).astype(np.int64)
+                - (1 << (bg - 1))).astype(np.int32)
+        np.testing.assert_array_equal(got, want, err_msg=f"{sh},{bg}")
+
+
+@pytest.mark.parametrize("N,J,U,bits,dbits,klimbs,m", [
+    (128, 4, 2, 64, 8, 0, 32), (128, 8, 2, 64, 9, 6, 64),
+    (256, 6, 3, 32, 7, 3, 64), (128, 4, 2, 64, 8, 6, 64)])
+def test_chunked_accumulate_vs_naive(N, J, U, bits, dbits, klimbs, m):
+    r = np.random.default_rng(0)
+    cfg = EngineConfig(N=N, out_bits=bits, digit_bits=dbits, key_limbs=klimbs)
+    kdt = np.int32 if bits == 32 else np.int64
+    key = r.integers(-2**(bits - 1), 2**(bits - 1), (J, U, N)).astype(kdt)
+    x = r.integers(-(1 << (dbits - 1)), 1 << (dbits - 1),
+                   (3, J, N)).astype(np.int32)
+    ce = ChunkedEngine(cfg, m=m)
+    ne = NaiveEngine(cfg)
+    got = np.asarray(ce.accumulate(jnp.asarray(x),
+                                   ce.prepare(jnp.asarray(key))))
+    kr = (np.asarray(_key_rounded(cfg, jnp.asarray(key))).astype(np.int64)
+          << cfg.key_shift)
+    want = np.asarray(ne.accumulate(jnp.asarray(x),
+                                    ne.prepare(jnp.asarray(kr.astype(kdt)))))
+    np.testing.assert_array_equal(got, want.astype(got.dtype))
+
+
+@pytest.mark.parametrize("N,k,l,bgbit", [(128, 1, 4, 9), (128, 1, 5, 8),
+                                         (256, 2, 4, 9)])
+def test_rotate_decompose64(N, k, l, bgbit):
+    r = np.random.default_rng(1)
+    p = TGswParams(l=l, bgbit=bgbit,
+                   tlwe=TLweParams(N=N, k=k, stdev=0.0, bits=64))
+    B = 4
+    acc = r.integers(-2**63, 2**63, (B, k + 1, N)).astype(np.int64)
+    a = r.integers(0, 2 * N, (B,)).astype(np.int32)
+    lo, hi = i64pair.from_i64(jnp.asarray(acc))
+    P = 2 if bgbit > 8 else 1
+    got = np.asarray(rotate_decompose64(
+        jnp.asarray(a), lo, hi, l=l, bgbit=bgbit, offset=p.offset,
+        planes=P, tb=B * (k + 1), interpret=True))
+    acc2 = tlwe.mul_by_xai_minus_one(jnp.asarray(a), jnp.asarray(acc))
+    digs = np.asarray(decompose_tlwe(acc2, p)).reshape(B, k + 1, l, N)
+    got = got.reshape(B, k + 1, l, P, N)
+    if P == 1:
+        np.testing.assert_array_equal(got[..., 0, :], digs)
+    else:
+        rec = (got[..., 0, :].astype(np.int32)
+               + (got[..., 1, :].astype(np.int32) << 7))
+        np.testing.assert_array_equal(rec, digs)
+        assert np.abs(got[..., 0, :]).max() <= 64
+
+
+@pytest.mark.parametrize("N,J,U,L,m,P,lgsize", [
+    (128, 4, 2, 3, 32, 1, 2), (128, 8, 2, 4, 64, 2, 2),
+    (256, 6, 3, 2, 64, 1, 3)])
+def test_ck_dot64(N, J, U, L, m, P, lgsize):
+    r = np.random.default_rng(2)
+    C = N // m
+    Jm = J * m
+    x = r.integers(-64, 64, (8, C * P * Jm)).astype(np.int8)
+    wm = r.integers(-128, 128, (U * L, Jm, N + m)).astype(np.int8)
+    got = np.asarray(ck_dot64(jnp.asarray(x), jnp.asarray(wm), N=N, m=m,
+                              planes=P, tm=8, lgsize=lgsize, interpret=True))
+    cfg = EngineConfig(N=N, out_bits=64, digit_bits=8 if P == 1 else 9)
+    ce = ChunkedEngine(cfg, m=m)
+    want = np.asarray(ce._fold_dot(jnp.asarray(x).reshape(8, C, P * Jm),
+                                   jnp.asarray(wm)))
+    np.testing.assert_array_equal(np.moveaxis(got, 1, 0), want)
+
+
+@pytest.mark.parametrize("N,k,l,bgbit,klimbs", [(128, 1, 4, 9, 0),
+                                                (128, 1, 5, 8, 6)])
+def test_cmux_pair_composition(N, k, l, bgbit, klimbs):
+    """Full pair-path step (kernels in interpret mode) == generic CMux."""
+    r = np.random.default_rng(3)
+    p = TGswParams(l=l, bgbit=bgbit, key_limbs=klimbs,
+                   tlwe=TLweParams(N=N, k=k, stdev=0.0, bits=64))
+    cfg = tgsw.engine_config(p)
+    ce = ChunkedEngine(cfg, m=32)
+    B = 4
+    key = r.integers(-2**40, 2**40, (p.kpl, k + 1, N)).astype(np.int64)
+    acc = r.integers(-2**63, 2**63, (B, k + 1, N)).astype(np.int64)
+    a = r.integers(0, 2 * N, (B,)).astype(np.int32)
+    prep = ce.prepare(jnp.asarray(key))
+    acc2 = tlwe.mul_by_xai_minus_one(jnp.asarray(a), jnp.asarray(acc))
+    want = np.asarray(jnp.asarray(acc)
+                      + ce.accumulate(decompose_tlwe(acc2, p), prep))
+    lo, hi = i64pair.from_i64(jnp.asarray(acc))
+    pb, P = cfg.plane_split
+    digs = rotate_decompose64(jnp.asarray(a), lo, hi, l=l, bgbit=bgbit,
+                              offset=p.offset, planes=P, tb=B * (k + 1),
+                              interpret=True)
+    C = N // ce.m
+    Jm = p.kpl * ce.m
+    x = digs.reshape(B, k + 1, l, P, C, ce.m)
+    x = jnp.transpose(x, (0, 4, 3, 1, 2, 5)).reshape(B, C * P * Jm)
+    UL = (k + 1) * cfg.num_limbs
+    y = ck_dot64(x, prep["wm"], N=N, m=ce.m, planes=P, tm=B,
+                 lgsize=2 if UL % 2 == 0 else 1, interpret=True)
+    y = y.reshape(k + 1, cfg.num_limbs, B, N)
+    zlo = zhi = None
+    for lm in range(cfg.num_limbs):
+        s = 8 * lm + cfg.key_shift
+        plo, phi = i64pair.shift_left_i32(y[:, lm], s)
+        zlo, zhi = ((plo, phi) if zlo is None
+                    else i64pair.add(zlo, zhi, plo, phi))
+    olo, ohi = i64pair.add(lo, hi, jnp.moveaxis(zlo, 0, 1),
+                           jnp.moveaxis(zhi, 0, 1))
+    np.testing.assert_array_equal(np.asarray(i64pair.to_i64(olo, ohi)), want)
+
+
+def test_blind_rotate_chunked_vs_naive():
+    """Toy lvl2 blind rotation: chunked backend == naive backend exactly
+    (both exact integer paths; generic engine route on CPU)."""
+    from tfhe_tpu.boot import blind_rotate as br
+    from tfhe_tpu.params import CB_TOY
+    r = np.random.default_rng(4)
+    p = CB_TOY.tgsw_lvl2
+    n = 6
+    B = 3
+    N = p.tlwe.N
+    k = p.tlwe.k
+    key = r.integers(-2**50, 2**50, (n, p.kpl, k + 1, N)).astype(np.int64)
+    acc = r.integers(-2**63, 2**63, (B, k + 1, N)).astype(np.int64)
+    abar = r.integers(0, 2 * N, (B, n)).astype(np.int32)
+    outs = {}
+    for backend in ("naive", "chunked"):
+        eng = tgsw.make_engine(tgsw.engine_config(p), backend)
+        prep = jax.lax.map(eng.prepare, jnp.asarray(key))
+        outs[backend] = np.asarray(br.blind_rotate(
+            jnp.asarray(acc), prep, jnp.asarray(abar), p, backend))
+    np.testing.assert_array_equal(outs["chunked"], outs["naive"])

@@ -49,6 +49,27 @@ def blind_rotate(acc, bk_prepared, abar, p: TGswParams, backend: str = "matmul",
     fused_rotdec = (jax.default_backend() == "tpu" and p.tlwe.bits == 32
                     and p.bgbit <= 8)
 
+    # 64-bit fused path: Torus64 accumulator carried as an (lo, hi) int32
+    # pair through the whole scan (ops/i64pair.py) — the TPU has no native
+    # s64 — with rotate_decompose64 + ck_dot64 per step (the lvl2 hot loop,
+    # poc_CircuitBootstrapping.cpp:580-642).  Probe once outside the scan so
+    # the trace takes exactly one path.
+    if (p.tlwe.bits == 64 and hasattr(eng, "cmux_pair_step")
+            and jax.default_backend() == "tpu"):
+        from tfhe_tpu.ops import i64pair
+        lo, hi = i64pair.from_i64(acc)
+
+        def step64(carry, xs):
+            prep_i, a_i = xs
+            out = eng.cmux_pair_step(a_i, carry, prep_i, l=p.l,
+                                     bgbit=p.bgbit, offset=p.offset)
+            return out, None
+
+        carry, _ = lax.scan(step64, (lo, hi),
+                            (bk_prepared, jnp.moveaxis(abar, -1, 0)),
+                            unroll=unroll)
+        return i64pair.to_i64(*carry)
+
     def step(acc, xs):
         prep_i, a_i = xs
         # Whole CMux in one Pallas kernel (rotation pipelined under the

@@ -131,22 +131,28 @@ def _recombine(cfg: EngineConfig, acc_planes):
     return out
 
 
+def _key_rounded(cfg: EngineConfig, key_polys):
+    """Round the key to its top num_limbs*limb_bits bits (key_limbs
+    truncation); identity when key_shift == 0.  See EngineConfig.key_shift
+    for the noise accounting."""
+    s = cfg.key_shift
+    if not s:
+        return key_polys
+    # clamp the two extreme values (+-2^(kbits-s-1)) that would need an
+    # L+1-th balanced limb — an extra half-ulp of rounding error there.
+    wide = key_polys.astype(jnp.int64) + (1 << (s - 1))
+    lim = (1 << (cfg.kbits - s - 1)) - 1
+    return jnp.clip(wide >> s, -lim, lim).astype(
+        jnp.int32 if cfg.kbits <= 32 else jnp.int64)
+
+
 def _key_limbs_doubled(cfg: EngineConfig, key_polys):
     """Balanced limbs of [key, -key]: (L, J, U, 2N) int8.
 
     Negation happens in the torus domain BEFORE limb splitting (balanced
-    limbs don't negate elementwise at -128).  With key_limbs truncation the
-    key is first rounded to its top num_limbs*limb_bits bits (the rounded
-    value needs kbits-key_shift+1 bits, which L balanced limbs just cover)."""
-    s = cfg.key_shift
-    if s:
-        # round FIRST so the wrap half is exactly the negated rounded key;
-        # clamp the two extreme values (+-2^(kbits-s-1)) that would need an
-        # L+1-th balanced limb — an extra half-ulp of rounding error there.
-        wide = key_polys.astype(jnp.int64) + (1 << (s - 1))
-        lim = (1 << (cfg.kbits - s - 1)) - 1
-        key_polys = jnp.clip(wide >> s, -lim, lim).astype(
-            jnp.int32 if cfg.kbits <= 32 else jnp.int64)
+    limbs don't negate elementwise at -128); rounding happens FIRST so the
+    wrap half is exactly the negated rounded key."""
+    key_polys = _key_rounded(cfg, key_polys)
     doubled = jnp.concatenate([key_polys, -key_polys], axis=-1)
     return T.balanced_limbs(doubled, cfg.num_limbs, cfg.limb_bits)
 
@@ -418,6 +424,127 @@ class OnTheFlyMatmulEngine(_EngineBase):
         return _recombine(cfg, jnp.stack(outs))
 
 
+class ChunkedEngine(_EngineBase):
+    """Pre-shifted chunked keys: the negacyclic product as C = N/m plain
+    int8 MXU matmuls against a STATIC key operand (no per-step Toeplitz
+    materialization).  The production engine for the 64-bit lvl2
+    circuit-bootstrap hot loop (poc_CircuitBootstrapping.cpp:580-642).
+
+    Keygen stores every key limb as m acyclically-shifted copies
+        wm[(u,l), (j,s), q] = limb[l, j, u, q - s]   (0 <= q-s < N, else 0)
+    of width N+m.  A product then accumulates chunk results y_c at offset
+    c*m into a 2N ring and folds once with X^N = -1 — see
+    pallas_kernels.ck_dot64 for the kernel-side rationale.  Key memory
+    blows up m-fold (vs the O(N) onthefly vectors) but stays N/m-fold
+    SMALLER than MatmulEngine's dense matrices; m trades HBM for MXU
+    utilization (dots of K = J*m against full N+m-wide outputs).
+    """
+
+    def __init__(self, cfg: EngineConfig, m: int | None = None):
+        self.cfg = cfg
+        if m is None:
+            m = min(64, cfg.N)
+        assert cfg.N % m == 0
+        self.m = m
+
+    def prepare(self, key_polys):
+        cfg = self.cfg
+        key_polys = jnp.asarray(key_polys)
+        J, U, N = key_polys.shape
+        assert N == cfg.N
+        m = self.m
+        # exactness: the int32 fold accumulation over all chunks is bounded
+        # by J*N * 2^digit_bits * 2^(limb_bits-1) (conservative over the
+        # balanced plane split) and must stay below 2^31.
+        assert J * N * (1 << cfg.digit_bits) * (1 << (cfg.limb_bits - 1)) \
+            < 2**31, "int32 accumulation bound exceeded for this shape"
+        limbs = T.balanced_limbs(_key_rounded(cfg, key_polys),
+                                 cfg.num_limbs, cfg.limb_bits)  # (L,J,U,N)
+        sh = jnp.stack([jnp.pad(limbs, ((0, 0),) * 3 + ((s, m - s),))
+                        for s in range(m)], axis=-2)    # (L,J,U,m,N+m)
+        wm = jnp.transpose(sh, (2, 0, 1, 3, 4))          # (U,L,J,m,N+m)
+        return {"wm": wm.reshape(U * cfg.num_limbs, J * m, N + m)}
+
+    def _fold_dot(self, xc, wm):
+        """xc: (B, C, P*Jm) int8 chunks; wm: (UL, Jm, Npm) int8.
+        Returns folded per-limb products (B, UL, N) int32 (exact)."""
+        cfg = self.cfg
+        UL, Jm, Npm = wm.shape
+        N, m = cfg.N, self.m
+        C = N // m
+        pb, P = cfg.plane_split
+        y = None
+        for p in range(P):
+            xp = xc[:, :, p * Jm:(p + 1) * Jm].astype(jnp.int32)
+            yp = jnp.einsum("bck,gkq->bcgq", xp, wm.astype(jnp.int32))
+            y = yp if y is None else y + (yp << (pb * p))
+        ring = jnp.zeros((xc.shape[0], UL, 2 * N), jnp.int32)
+        for c in range(C):
+            ring = ring.at[..., c * m: c * m + Npm].add(y[:, c])
+        return ring[..., :N] - ring[..., N:]
+
+    def accumulate(self, x, prepared):
+        cfg = self.cfg
+        wm = prepared["wm"]
+        UL, Jm, Npm = wm.shape
+        N, m = cfg.N, self.m
+        C = N // m
+        L = cfg.num_limbs
+        U = UL // L
+        J = Jm // m
+        planes = _digit_planes(cfg, x)                  # (P, ..., J, N)
+        P = planes.shape[0]
+        lead = planes.shape[1:-2]
+        xc = planes.reshape(P, -1, J, C, m)
+        xc = jnp.transpose(xc, (1, 3, 0, 2, 4))         # (B, C, P, J, m)
+        xc = xc.reshape(xc.shape[0], C, P * Jm)
+        res = self._fold_dot(xc, wm)                    # (B, UL, N)
+        res = res.reshape(-1, U, L, N)
+        dt = _torus_dtype(cfg.out_bits)
+        out = None
+        for lm in range(L):
+            v = res[:, :, lm].astype(dt) << (cfg.limb_bits * lm + cfg.key_shift)
+            out = v if out is None else out + v
+        return out.reshape(*lead, U, N)
+
+    def cmux_pair_step(self, a, acc_pair, prepared, *, l: int, bgbit: int,
+                       offset: int, tm: int = 128):
+        """One 64-bit blind-rotation step on the (lo, hi) pair
+        representation: rotate_decompose64 -> ck_dot64 -> i64pair limb
+        recombination + accumulator add (XLA-fused epilogue).
+        Returns the new (lo, hi) pair, or None off-TPU."""
+        import jax as _jax
+        if _jax.default_backend() != "tpu" or self.cfg.out_bits != 64:
+            return None
+        from tfhe_tpu.ops.pallas_kernels import rotate_decompose64, ck_dot64
+        from tfhe_tpu.ops import i64pair
+        cfg = self.cfg
+        lo, hi = acc_pair
+        B, kp1, N = lo.shape
+        pb, P = cfg.plane_split
+        wm = prepared["wm"]
+        UL, Jm, Npm = wm.shape
+        L = cfg.num_limbs
+        m = self.m
+        C = N // m
+        digs = rotate_decompose64(a, lo, hi, l=l, bgbit=bgbit, offset=offset,
+                                  planes=P)
+        x = digs.reshape(B, kp1, l, P, C, m)
+        x = jnp.transpose(x, (0, 4, 3, 1, 2, 5)).reshape(B, C * P * Jm)
+        lgsize = 2 if UL % 2 == 0 else 1
+        y = ck_dot64(x, wm, N=N, m=m, planes=P, tm=min(tm, B), lgsize=lgsize)
+        y = y.reshape(kp1, L, B, N)
+        zlo = zhi = None
+        for lm in range(L):
+            s = cfg.limb_bits * lm + cfg.key_shift
+            plo, phi = i64pair.shift_left_i32(y[:, lm], s)
+            zlo, zhi = ((plo, phi) if zlo is None
+                        else i64pair.add(zlo, zhi, plo, phi))
+        zlo = jnp.moveaxis(zlo, 0, 1)                   # (B, kp1, N)
+        zhi = jnp.moveaxis(zhi, 0, 1)
+        return i64pair.add(lo, hi, zlo, zhi)
+
+
 def make_engine(cfg: EngineConfig, backend: str = "matmul"):
     if backend == "nussbaumer":
         from tfhe_tpu.ops.nussbaumer import NussbaumerEngine
@@ -430,6 +557,8 @@ def make_engine(cfg: EngineConfig, backend: str = "matmul"):
         return MatmulEngine(cfg)
     if backend == "onthefly":
         return OnTheFlyMatmulEngine(cfg)
+    if backend == "chunked":
+        return ChunkedEngine(cfg)
     if backend == "conv":
         return ConvEngine(cfg)
     if backend == "conv_bf16":

@@ -541,6 +541,176 @@ def fused_cmux_step_v2(a, acc, w, *, l: int, bgbit: int, offset: int,
     return out.reshape(B, kp1, N)
 
 
+# ---------------------------------------------------------------------------
+# 64-bit (lvl2 / Torus64) blind-rotation kernels — the circuit-bootstrap hot
+# loop (poc_CircuitBootstrapping.cpp:580-642) on the MXU.
+#
+# The TPU has no native s64 datapath and Mosaic rejects s64 entirely, so the
+# Torus64 accumulator lives as an explicit (lo, hi) int32 pair
+# (ops/i64pair.py): rotation, 64-bit subtract, gadget-offset add and digit
+# extraction are all int32/uint32 with explicit carries/borrows.
+#
+# The external product uses CHUNKED PRE-SHIFTED KEYS instead of the 32-bit
+# path's per-step Toeplitz materialization (materialize_w): at keygen time
+# every key limb polynomial is stored as m acyclically-shifted copies
+#     Wm[u, l, (j, s), q] = limb[l, j, u, q - s]   (0 <= s < m, width N+m)
+# so one blind-rotation step is C = N/m ordinary int8 MXU matmuls
+#     y_c = digits[:, c*m : (c+1)*m over all j] @ Wm      (tm, N+m)
+# accumulated at STATIC offset c*m into a (tm, 2N) ring scratch (a chunk
+# never wraps: c*m + N + m <= 2N), folded once at the end with X^N = -1:
+#     out = ring[:, :N] - ring[:, N:].
+# This trades m-fold key-memory blowup (n * U*L*J*m*(N+m) int8, ~8 GB for
+# CB_MXU at m=64) for zero per-step key preprocessing and full-width MXU
+# dots; HBM per step is just the Wm stream (16 MB) + digits + accumulator.
+# ---------------------------------------------------------------------------
+
+
+def _i32(v: int):
+    """Python int (possibly >= 2^31 as unsigned) -> int32 constant."""
+    v &= 0xFFFFFFFF
+    return jnp.int32(v - (1 << 32) if v >= (1 << 31) else v)
+
+
+def _rotdec64_kernel(N, l, bgbit, offset, nbits, planes):
+    half = 1 << (bgbit - 1)
+    mask = (1 << bgbit) - 1
+    off_lo = offset & 0xFFFFFFFF
+    off_hi = (offset >> 32) & 0xFFFFFFFF
+
+    def kernel(a_ref, lo_ref, hi_ref, out_ref):
+        a = a_ref[:]                                   # (tb, 1) int32
+        lo, hi = lo_ref[:], hi_ref[:]                  # (tb, N) int32 rows
+        olo, ohi = lo, hi
+        lane = jax.lax.broadcasted_iota(jnp.int32, lo.shape, 1)
+        for w in range(nbits):
+            r = 1 << w
+            if r < N:
+                rlo = pltpu.roll(lo, jnp.int32(r), axis=1)
+                rhi = pltpu.roll(hi, jnp.int32(r), axis=1)
+                wrap = lane < r
+                nlo = jnp.where(wrap, -rlo, rlo)
+                nhi = jnp.where(wrap, ~rhi + (rlo == 0).astype(jnp.int32), rhi)
+            else:                                      # X^N = -1: negate all
+                nlo = -lo
+                nhi = ~hi + (lo == 0).astype(jnp.int32)
+            bit = ((a >> w) & 1) > 0
+            lo = jnp.where(bit, nlo, lo)
+            hi = jnp.where(bit, nhi, hi)
+        # d = rot - orig (64-bit subtract with borrow)
+        borrow = (lo.astype(jnp.uint32) < olo.astype(jnp.uint32)).astype(jnp.int32)
+        dlo = lo - olo
+        dhi = hi - ohi - borrow
+        # + gadget offset (64-bit constant add with carry)
+        slo = dlo + _i32(off_lo)
+        carry = (slo.astype(jnp.uint32) < jnp.uint32(off_lo)).astype(jnp.int32)
+        shi = dhi + _i32(off_hi) + carry
+        ulo, uhi = slo.astype(jnp.uint32), shi.astype(jnp.uint32)
+        for lv in range(l):
+            s = 64 - (lv + 1) * bgbit
+            if s >= 32:
+                v = uhi >> jnp.uint32(s - 32)
+            elif s + bgbit <= 32:
+                v = ulo >> jnp.uint32(s)
+            else:                                      # straddles the words
+                v = (ulo >> jnp.uint32(s)) | (uhi << jnp.uint32(32 - s))
+            d = (v & jnp.uint32(mask)).astype(jnp.int32) - half
+            if planes == 1:
+                out_ref[:, lv, :] = d.astype(jnp.int8)
+            else:                                      # balanced base-2^7
+                p0 = ((d + 64) & 127) - 64
+                p1 = (d - p0) >> 7
+                out_ref[:, 2 * lv, :] = p0.astype(jnp.int8)
+                out_ref[:, 2 * lv + 1, :] = p1.astype(jnp.int8)
+    return kernel
+
+
+def rotate_decompose64(a, acc_lo, acc_hi, *, l: int, bgbit: int, offset: int,
+                       planes: int = 1, tb: int = 256,
+                       interpret: bool = False):
+    """Digits of (X^a - 1) * acc for a Torus64 TRLWE accumulator pair.
+
+    a: (B,) int32 exponents in [0, 2N); acc_lo/acc_hi: (B, k+1, N) int32
+    (i64pair representation).  Returns (B*(k+1), l*planes, N) int8 digit
+    planes, (level, plane)-major — the 64-bit analog of rotate_decompose,
+    matching tGswTorus64PolynomialDecompH digit semantics
+    (poc_CircuitBootstrapping.cpp:492-515) with plane-split digits when
+    bgbit > 8 (planes=2: balanced base-2^7, digit = p0 + 128*p1)."""
+    B, kp1, N = acc_lo.shape
+    rows = B * kp1
+    tb = min(tb, rows)
+    assert rows % tb == 0
+    assert planes in (1, 2)
+    nbits = (2 * N - 1).bit_length()
+    a2 = jnp.repeat(a.astype(jnp.int32), kp1)[:, None]     # (rows, 1)
+    return pl.pallas_call(
+        _rotdec64_kernel(N, l, bgbit, offset, nbits, planes),
+        grid=(rows // tb,),
+        in_specs=[
+            pl.BlockSpec((tb, 1), lambda i: (i, i - i)),
+            pl.BlockSpec((tb, N), lambda i: (i, i - i)),
+            pl.BlockSpec((tb, N), lambda i: (i, i - i)),
+        ],
+        out_specs=pl.BlockSpec((tb, l * planes, N),
+                               lambda i: (i, i - i, i - i)),
+        out_shape=jax.ShapeDtypeStruct((rows, l * planes, N), jnp.int8),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=interpret,
+    )(a2, acc_lo.reshape(rows, N), acc_hi.reshape(rows, N))
+
+
+def _ck64_kernel(N, m, P, C, Jm, lgsize):
+    Npm = N + m
+
+    def kernel(x_ref, w_ref, out_ref, sacc_ref):
+        for li in range(lgsize):
+            sacc_ref[:, :] = jnp.zeros(sacc_ref.shape, jnp.int32)
+            for c in range(C):
+                y = None
+                for p in range(P):
+                    xs = x_ref[:, pl.ds((c * P + p) * Jm, Jm)]
+                    yp = jnp.dot(xs, w_ref[li],
+                                 preferred_element_type=jnp.int32)
+                    yp = (yp << 7) if p else yp        # plane weight 2^(7p)
+                    y = yp if y is None else y + yp
+                sacc_ref[:, pl.ds(c * m, Npm)] += y
+            out_ref[li, :, :] = (sacc_ref[:, pl.ds(0, N)]
+                                 - sacc_ref[:, pl.ds(N, N)])
+    return kernel
+
+
+def ck_dot64(x, wm, *, N: int, m: int, planes: int = 1, tm: int = 128,
+             lgsize: int = 2, interpret: bool = False):
+    """Chunked-key negacyclic contraction, per-limb int32 outputs.
+
+    x:  (B, C*P*J*m) int8 digit chunks, laid out (c, plane, j, s)-major.
+    wm: (U*L, J*m, N+m) int8 pre-shifted key limbs (ChunkedEngine.prepare).
+    Returns (U*L, B, N) int32: the folded negacyclic product of the digits
+    with each key limb; the (64-bit) limb recombination happens outside in
+    i64pair arithmetic so this kernel is pure int8 MXU + int32 adds.
+    """
+    B, xw = x.shape
+    UL, Jm, Npm = wm.shape
+    C = N // m
+    assert xw == C * planes * Jm and Npm == N + m and N % m == 0
+    assert UL % lgsize == 0 and B % tm == 0
+    ng = UL // lgsize
+    return pl.pallas_call(
+        _ck64_kernel(N, m, planes, C, Jm, lgsize),
+        grid=(B // tm, ng),
+        in_specs=[
+            pl.BlockSpec((tm, xw), lambda i, g: (i, i - i)),
+            pl.BlockSpec((lgsize, Jm, Npm), lambda i, g: (g, i - i, i - i)),
+        ],
+        out_specs=pl.BlockSpec((lgsize, tm, N), lambda i, g: (g, i, i - i)),
+        out_shape=jax.ShapeDtypeStruct((UL, B, N), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((tm, 2 * N), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(x, wm)
+
+
 def _mm_recombine_kernel(L, shift_base, nk):
     def kernel(x_ref, w_ref, accin_ref, out_ref, scratch):
         k = pl.program_id(2)
