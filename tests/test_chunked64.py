@@ -7,7 +7,7 @@ Layers checked bit-exactly, bottom-up:
   * ChunkedEngine.accumulate vs the NaiveEngine oracle (32- and 64-bit,
     plane-split digits, key_limbs truncation)
   * rotate_decompose64 (interpret) vs mul_by_xai_minus_one + decompose_tlwe
-  * ck_dot64 (interpret) vs ChunkedEngine._fold_dot
+  * ck_dot64p (interpret) vs ChunkedEngine._fold_dot
   * the full cmux_pair_step composition vs the generic engine CMux
   * blind_rotate at CB_TOY-scale lvl2 params: chunked backend == naive
 """
@@ -23,7 +23,8 @@ from tfhe_tpu.ops.decomp import decompose_tlwe
 from tfhe_tpu.ops.engine import (EngineConfig, ChunkedEngine, NaiveEngine,
                                  _key_rounded)
 from tfhe_tpu.ops import i64pair
-from tfhe_tpu.ops.pallas_kernels import rotate_decompose64, ck_dot64
+from tfhe_tpu.ops.pallas_kernels import (rotate_decompose64,
+                                         rotate_decompose64_ck, ck_dot64p)
 
 
 def test_i64pair_primitives():
@@ -103,21 +104,65 @@ def test_rotate_decompose64(N, k, l, bgbit):
         assert np.abs(got[..., 0, :]).max() <= 64
 
 
-@pytest.mark.parametrize("N,J,U,L,m,P,lgsize", [
-    (128, 4, 2, 3, 32, 1, 2), (128, 8, 2, 4, 64, 2, 2),
-    (256, 6, 3, 2, 64, 1, 3)])
-def test_ck_dot64(N, J, U, L, m, P, lgsize):
+@pytest.mark.parametrize("N,k,l,bgbit,m", [(128, 1, 5, 8, 32),
+                                           (128, 1, 4, 9, 64),
+                                           (256, 2, 4, 9, 64)])
+def test_rotate_decompose64_ck_layout(N, k, l, bgbit, m):
+    """The ck-layout emitter == plain emitter re-laid-out."""
+    r = np.random.default_rng(5)
+    p = TGswParams(l=l, bgbit=bgbit,
+                   tlwe=TLweParams(N=N, k=k, stdev=0.0, bits=64))
+    B = 4
+    acc = r.integers(-2**63, 2**63, (B, k + 1, N)).astype(np.int64)
+    a = r.integers(0, 2 * N, (B,)).astype(np.int32)
+    P = 2 if bgbit > 8 else 1
+    C = N // m
+    lo, hi = i64pair.from_i64(jnp.asarray(acc))
+    plain = rotate_decompose64(jnp.asarray(a), lo, hi, l=l, bgbit=bgbit,
+                               offset=p.offset, planes=P, tb=B * (k + 1),
+                               interpret=True)
+    # plain: (B*(k+1), l*P, N) -> per-u (B, C*P, l*m)
+    x = np.asarray(plain).reshape(B, k + 1, l, P, C, m)
+    lou, hiu = i64pair.from_i64(jnp.moveaxis(jnp.asarray(acc), -2, 0))
+    got = rotate_decompose64_ck(
+        jnp.asarray(a), lou, hiu, l=l, bgbit=bgbit, offset=p.offset,
+        m=m, planes=P, tb=B, interpret=True)
+    assert len(got) == k + 1
+    lmp = -(-(l * m) // 128) * 128
+    for u in range(k + 1):
+        # want[u][b, (c*P + pp)*lmp + lv*m + s] = x[b, u, lv, pp, c, s]
+        w2 = np.asarray(got[u]).reshape(B, C * P, lmp)
+        for lv in range(l):
+            for pp in range(P):
+                for c in range(C):
+                    np.testing.assert_array_equal(
+                        w2[:, c * P + pp, lv * m:(lv + 1) * m],
+                        x[:, u, lv, pp, c, :])
+
+
+@pytest.mark.parametrize("N,kp1,l,U,L,m,P,lgsize", [
+    (128, 2, 2, 2, 3, 32, 1, 2), (128, 2, 2, 2, 4, 64, 2, 2),
+    (256, 3, 2, 3, 2, 64, 1, 3)])
+def test_ck_dot64p(N, kp1, l, U, L, m, P, lgsize):
     r = np.random.default_rng(2)
     C = N // m
-    Jm = J * m
-    x = r.integers(-64, 64, (8, C * P * Jm)).astype(np.int8)
-    wm = r.integers(-128, 128, (U * L, Jm, N + m)).astype(np.int8)
-    got = np.asarray(ck_dot64(jnp.asarray(x), jnp.asarray(wm), N=N, m=m,
-                              planes=P, tm=8, lgsize=lgsize, interpret=True))
+    lm = l * m
+    B = 8
+    lmp = -(-lm // 128) * 128
+    xs = [jnp.asarray(r.integers(-64, 64, (B, C * P * lmp)).astype(np.int8))
+          for _ in range(kp1)]
+    wm = r.integers(-128, 128, (U * L, kp1 * lm, N + m)).astype(np.int8)
+    got = np.asarray(ck_dot64p(xs, jnp.asarray(wm), N=N, m=m, planes=P,
+                               tm=8, lgsize=lgsize, interpret=True))
+    # reference via ChunkedEngine._fold_dot: xc (P, B, C, Jm)
+    xc = np.zeros((P, B, C, kp1 * lm), np.int8)
+    for ui in range(kp1):
+        xnp = np.asarray(xs[ui]).reshape(B, C, P, lmp)
+        for p in range(P):
+            xc[p, :, :, ui * lm:(ui + 1) * lm] = xnp[:, :, p, :lm]
     cfg = EngineConfig(N=N, out_bits=64, digit_bits=8 if P == 1 else 9)
     ce = ChunkedEngine(cfg, m=m)
-    want = np.asarray(ce._fold_dot(jnp.asarray(x).reshape(8, C, P * Jm),
-                                   jnp.asarray(wm)))
+    want = np.asarray(ce._fold_dot(jnp.asarray(xc), jnp.asarray(wm)))
     np.testing.assert_array_equal(np.moveaxis(got, 1, 0), want)
 
 
@@ -138,18 +183,14 @@ def test_cmux_pair_composition(N, k, l, bgbit, klimbs):
     acc2 = tlwe.mul_by_xai_minus_one(jnp.asarray(a), jnp.asarray(acc))
     want = np.asarray(jnp.asarray(acc)
                       + ce.accumulate(decompose_tlwe(acc2, p), prep))
-    lo, hi = i64pair.from_i64(jnp.asarray(acc))
+    lo, hi = i64pair.from_i64(jnp.moveaxis(jnp.asarray(acc), -2, 0))
     pb, P = cfg.plane_split
-    digs = rotate_decompose64(jnp.asarray(a), lo, hi, l=l, bgbit=bgbit,
-                              offset=p.offset, planes=P, tb=B * (k + 1),
-                              interpret=True)
-    C = N // ce.m
-    Jm = p.kpl * ce.m
-    x = digs.reshape(B, k + 1, l, P, C, ce.m)
-    x = jnp.transpose(x, (0, 4, 3, 1, 2, 5)).reshape(B, C * P * Jm)
+    xs = rotate_decompose64_ck(jnp.asarray(a), lo, hi, l=l, bgbit=bgbit,
+                               offset=p.offset, m=ce.m, planes=P, tb=B,
+                               interpret=True)
     UL = (k + 1) * cfg.num_limbs
-    y = ck_dot64(x, prep["wm"], N=N, m=ce.m, planes=P, tm=B,
-                 lgsize=2 if UL % 2 == 0 else 1, interpret=True)
+    y = ck_dot64p(xs, prep["wm"], N=N, m=ce.m, planes=P, tm=B,
+                  lgsize=2 if UL % 2 == 0 else 1, interpret=True)
     y = y.reshape(k + 1, cfg.num_limbs, B, N)
     zlo = zhi = None
     for lm in range(cfg.num_limbs):
@@ -157,9 +198,9 @@ def test_cmux_pair_composition(N, k, l, bgbit, klimbs):
         plo, phi = i64pair.shift_left_i32(y[:, lm], s)
         zlo, zhi = ((plo, phi) if zlo is None
                     else i64pair.add(zlo, zhi, plo, phi))
-    olo, ohi = i64pair.add(lo, hi, jnp.moveaxis(zlo, 0, 1),
-                           jnp.moveaxis(zhi, 0, 1))
-    np.testing.assert_array_equal(np.asarray(i64pair.to_i64(olo, ohi)), want)
+    olo, ohi = i64pair.add(lo, hi, zlo, zhi)
+    got = np.asarray(jnp.moveaxis(i64pair.to_i64(olo, ohi), 0, -2))
+    np.testing.assert_array_equal(got, want)
 
 
 def test_blind_rotate_chunked_vs_naive():
@@ -183,3 +224,29 @@ def test_blind_rotate_chunked_vs_naive():
         outs[backend] = np.asarray(br.blind_rotate(
             jnp.asarray(acc), prep, jnp.asarray(abar), p, backend))
     np.testing.assert_array_equal(outs["chunked"], outs["naive"])
+
+
+@pytest.mark.parametrize("N,k,l,bgbit,klimbs,m,tm", [
+    (128, 1, 3, 7, 3, 32, 4), (256, 1, 3, 7, 0, 64, 8),
+    (128, 2, 2, 8, 3, 64, 8)])
+def test_ck_cmux_step32(N, k, l, bgbit, klimbs, m, tm):
+    """Fused 32-bit chunked CMux (interpret) == rotate+decompose+engine."""
+    from tfhe_tpu.ops.pallas_kernels import ck_cmux_step32
+    r = np.random.default_rng(6)
+    p = TGswParams(l=l, bgbit=bgbit, key_limbs=klimbs,
+                   tlwe=TLweParams(N=N, k=k, stdev=0.0, bits=32))
+    cfg = tgsw.engine_config(p)
+    ce = ChunkedEngine(cfg, m=m)
+    B = 8
+    key = r.integers(-2**31, 2**31, (p.kpl, k + 1, N)).astype(np.int32)
+    acc = r.integers(-2**31, 2**31, (B, k + 1, N)).astype(np.int32)
+    a = r.integers(0, 2 * N, (B,)).astype(np.int32)
+    prep = ce.prepare(jnp.asarray(key))
+    acc2 = tlwe.mul_by_xai_minus_one(jnp.asarray(a), jnp.asarray(acc))
+    want = np.asarray(jnp.asarray(acc)
+                      + ce.accumulate(decompose_tlwe(acc2, p), prep))
+    got = np.asarray(ck_cmux_step32(
+        jnp.asarray(a), jnp.asarray(acc), prep["wm"], l=l, bgbit=bgbit,
+        offset=p.offset, key_shift=cfg.key_shift, m=m, tm=tm,
+        interpret=True))
+    np.testing.assert_array_equal(got, want)

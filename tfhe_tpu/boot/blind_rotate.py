@@ -57,7 +57,10 @@ def blind_rotate(acc, bk_prepared, abar, p: TGswParams, backend: str = "matmul",
     if (p.tlwe.bits == 64 and hasattr(eng, "cmux_pair_step")
             and jax.default_backend() == "tpu"):
         from tfhe_tpu.ops import i64pair
-        lo, hi = i64pair.from_i64(acc)
+        # U-major carry layout (k+1, B, N): the rotate kernel serves one u
+        # per grid cell and the limb-recombination epilogue needs no
+        # transpose; converted back once after the scan.
+        lo, hi = i64pair.from_i64(jnp.moveaxis(acc, -2, 0))
 
         def step64(carry, xs):
             prep_i, a_i = xs
@@ -68,7 +71,7 @@ def blind_rotate(acc, bk_prepared, abar, p: TGswParams, backend: str = "matmul",
         carry, _ = lax.scan(step64, (lo, hi),
                             (bk_prepared, jnp.moveaxis(abar, -1, 0)),
                             unroll=unroll)
-        return i64pair.to_i64(*carry)
+        return jnp.moveaxis(i64pair.to_i64(*carry), 0, -2)
 
     def step(acc, xs):
         prep_i, a_i = xs

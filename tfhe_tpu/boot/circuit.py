@@ -142,20 +142,30 @@ class CircuitCloudKey:
                  keep_raw_ks: bool = False) -> "CircuitCloudKey":
         from tfhe_tpu.boot.gate import host_keygen_device
         p = sk.params
+        eng = tgsw.make_engine(tgsw.engine_config(p.tgsw_lvl2), backend)
         with host_keygen_device():
             preks = lwe.KeySwitchKey.generate(sk.lwe_lvl1, sk.key_lvl0,
                                               p.ks10, rng,
                                               keep_raw=keep_raw_ks)
             gsw = tgsw.encrypt(sk.ring_lvl2, sk.key_lvl0.key, p.tgsw_lvl2,
                                rng, stdev=p.bk_stdev)  # (n0, 2, l2, 2, N2) i64
-            eng = tgsw.make_engine(tgsw.engine_config(p.tgsw_lvl2), backend)
-            prep = jax.lax.map(lambda g: eng.prepare(tgsw.rows(g)), gsw)
+            if backend != "chunked":
+                prep = jax.lax.map(lambda g: eng.prepare(tgsw.rows(g)), gsw)
             privks = PrivKeySwitchKey.generate(sk, rng)
         dev = jax.devices()[0]
+        if backend == "chunked":
+            # the pre-shifted key blowup (~m/2 x the raw bk, e.g. 8 GB at
+            # CB_MXU/m=64) is built ON the accelerator from the 160 MB raw
+            # TRGSW — shipping wm through the host link would dominate keygen
+            if dev.platform != "cpu":
+                gsw = jax.device_put(gsw, dev)
+            prep = jax.jit(lambda g: jax.lax.map(
+                lambda x: eng.prepare(tgsw.rows(x)), g))(gsw)
         if dev.platform != "cpu":
             preks = dataclasses.replace(
                 preks, w_limbs=jax.device_put(preks.w_limbs, dev))
-            prep = jax.device_put(prep, dev)
+            if backend != "chunked":
+                prep = jax.device_put(prep, dev)
             privks = dataclasses.replace(
                 privks, w_limbs=jax.device_put(privks.w_limbs, dev))
         return CircuitCloudKey(p, backend, preks, prep, privks)

@@ -443,7 +443,11 @@ class ChunkedEngine(_EngineBase):
     def __init__(self, cfg: EngineConfig, m: int | None = None):
         self.cfg = cfg
         if m is None:
-            m = min(64, cfg.N)
+            # 32-bit: m=128 keeps every store/load/offset lane-aligned and
+            # the pre-shift blowup affordable (l*m is a 128-multiple).
+            # 64-bit: m=64 — m=128 would need n*33 MB of wm (~17 GB at
+            # CB_MXU), past v5e HBM; 64-multiple offsets still lower fine.
+            m = min(128 if cfg.out_bits == 32 else 64, cfg.N)
         assert cfg.N % m == 0
         self.m = m
 
@@ -462,11 +466,15 @@ class ChunkedEngine(_EngineBase):
                                  cfg.num_limbs, cfg.limb_bits)  # (L,J,U,N)
         sh = jnp.stack([jnp.pad(limbs, ((0, 0),) * 3 + ((s, m - s),))
                         for s in range(m)], axis=-2)    # (L,J,U,m,N+m)
+        # leading (u, limb)-major, rows (j, s)-major: wm[u*L+l, j*m+s, q]
+        # = limb[l, j, u, q-s] — the ck_dot64p operand layout ((j,s) and q
+        # in the last two dims so limb-group blocks satisfy the Pallas
+        # (8, 128)-divisibility rule on the trailing dims).
         wm = jnp.transpose(sh, (2, 0, 1, 3, 4))          # (U,L,J,m,N+m)
         return {"wm": wm.reshape(U * cfg.num_limbs, J * m, N + m)}
 
     def _fold_dot(self, xc, wm):
-        """xc: (B, C, P*Jm) int8 chunks; wm: (UL, Jm, Npm) int8.
+        """xc: (P, B, C, Jm) int8 chunk planes; wm: (UL, Jm, Npm) int8.
         Returns folded per-limb products (B, UL, N) int32 (exact)."""
         cfg = self.cfg
         UL, Jm, Npm = wm.shape
@@ -475,10 +483,10 @@ class ChunkedEngine(_EngineBase):
         pb, P = cfg.plane_split
         y = None
         for p in range(P):
-            xp = xc[:, :, p * Jm:(p + 1) * Jm].astype(jnp.int32)
-            yp = jnp.einsum("bck,gkq->bcgq", xp, wm.astype(jnp.int32))
+            yp = jnp.einsum("bck,gkq->bcgq", xc[p].astype(jnp.int32),
+                            wm.astype(jnp.int32))
             y = yp if y is None else y + (yp << (pb * p))
-        ring = jnp.zeros((xc.shape[0], UL, 2 * N), jnp.int32)
+        ring = jnp.zeros((xc.shape[1], UL, 2 * N), jnp.int32)
         for c in range(C):
             ring = ring.at[..., c * m: c * m + Npm].add(y[:, c])
         return ring[..., :N] - ring[..., N:]
@@ -496,8 +504,8 @@ class ChunkedEngine(_EngineBase):
         P = planes.shape[0]
         lead = planes.shape[1:-2]
         xc = planes.reshape(P, -1, J, C, m)
-        xc = jnp.transpose(xc, (1, 3, 0, 2, 4))         # (B, C, P, J, m)
-        xc = xc.reshape(xc.shape[0], C, P * Jm)
+        xc = jnp.transpose(xc, (0, 1, 3, 2, 4))         # (P, B, C, J, m)
+        xc = xc.reshape(P, xc.shape[1], C, Jm)
         res = self._fold_dot(xc, wm)                    # (B, UL, N)
         res = res.reshape(-1, U, L, N)
         dt = _torus_dtype(cfg.out_bits)
@@ -507,32 +515,49 @@ class ChunkedEngine(_EngineBase):
             out = v if out is None else out + v
         return out.reshape(*lead, U, N)
 
+    def cmux_step(self, a, acc, prepared, *, l, bgbit, offset, tm=256):
+        """32-bit fused chunked CMux (ck_cmux_step32) — the N=1024 gate
+        path where the dense-Toeplitz fused_cmux_step_v2 starves VMEM.
+        Returns None when ineligible (off-TPU, 64-bit, multi-plane)."""
+        import jax as _jax
+        cfg = self.cfg
+        B = acc.shape[0]
+        if not (_jax.default_backend() == "tpu" and cfg.out_bits == 32
+                and cfg.kbits == 32 and cfg.plane_split[1] == 1
+                and bgbit <= 8 and acc.ndim == 3 and B % min(tm, B) == 0):
+            return None
+        from tfhe_tpu.ops.pallas_kernels import ck_cmux_step32
+        return ck_cmux_step32(a, acc, prepared["wm"], l=l, bgbit=bgbit,
+                              offset=offset, key_shift=cfg.key_shift,
+                              m=self.m, tm=min(tm, B))
+
     def cmux_pair_step(self, a, acc_pair, prepared, *, l: int, bgbit: int,
-                       offset: int, tm: int = 128):
-        """One 64-bit blind-rotation step on the (lo, hi) pair
-        representation: rotate_decompose64 -> ck_dot64 -> i64pair limb
-        recombination + accumulator add (XLA-fused epilogue).
+                       offset: int, tm: int = 128, lgsize: int | None = None):
+        """One 64-bit blind-rotation step on the U-MAJOR (lo, hi) pair
+        representation (each (k+1, B, N) int32): rotate_decompose64_ck
+        (digits emitted directly in chunk layout) -> ck_dot64 -> i64pair
+        limb recombination + accumulator add (XLA-fused epilogue).
         Returns the new (lo, hi) pair, or None off-TPU."""
         import jax as _jax
         if _jax.default_backend() != "tpu" or self.cfg.out_bits != 64:
             return None
-        from tfhe_tpu.ops.pallas_kernels import rotate_decompose64, ck_dot64
+        from tfhe_tpu.ops.pallas_kernels import (rotate_decompose64_ck,
+                                                 ck_dot64p)
         from tfhe_tpu.ops import i64pair
         cfg = self.cfg
         lo, hi = acc_pair
-        B, kp1, N = lo.shape
+        kp1, B, N = lo.shape
         pb, P = cfg.plane_split
         wm = prepared["wm"]
         UL, Jm, Npm = wm.shape
         L = cfg.num_limbs
         m = self.m
-        C = N // m
-        digs = rotate_decompose64(a, lo, hi, l=l, bgbit=bgbit, offset=offset,
-                                  planes=P)
-        x = digs.reshape(B, kp1, l, P, C, m)
-        x = jnp.transpose(x, (0, 4, 3, 1, 2, 5)).reshape(B, C * P * Jm)
-        lgsize = 2 if UL % 2 == 0 else 1
-        y = ck_dot64(x, wm, N=N, m=m, planes=P, tm=min(tm, B), lgsize=lgsize)
+        xs = rotate_decompose64_ck(a, lo, hi, l=l, bgbit=bgbit, offset=offset,
+                                   m=m, planes=P)
+        if lgsize is None:
+            lgsize = 2 if UL % 2 == 0 else 1
+        y = ck_dot64p(xs, wm, N=N, m=m, planes=P, tm=min(tm, B),
+                      lgsize=lgsize)
         y = y.reshape(kp1, L, B, N)
         zlo = zhi = None
         for lm in range(L):
@@ -540,8 +565,6 @@ class ChunkedEngine(_EngineBase):
             plo, phi = i64pair.shift_left_i32(y[:, lm], s)
             zlo, zhi = ((plo, phi) if zlo is None
                         else i64pair.add(zlo, zhi, plo, phi))
-        zlo = jnp.moveaxis(zlo, 0, 1)                   # (B, kp1, N)
-        zhi = jnp.moveaxis(zhi, 0, 1)
         return i64pair.add(lo, hi, zlo, zhi)
 
 

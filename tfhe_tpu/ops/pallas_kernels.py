@@ -659,47 +659,168 @@ def rotate_decompose64(a, acc_lo, acc_hi, *, l: int, bgbit: int, offset: int,
     )(a2, acc_lo.reshape(rows, N), acc_hi.reshape(rows, N))
 
 
-def _ck64_kernel(N, m, P, C, Jm, lgsize):
-    Npm = N + m
+def _rotdec64_ck_kernel(N, kp1, l, bgbit, offset, nbits, planes, m):
+    half = 1 << (bgbit - 1)
+    mask = (1 << bgbit) - 1
+    off_lo = offset & 0xFFFFFFFF
+    off_hi = (offset >> 32) & 0xFFFFFFFF
+    C = N // m
 
-    def kernel(x_ref, w_ref, out_ref, sacc_ref):
+    def kernel(a_ref, lo_ref, hi_ref, *out_refs):
+        u = pl.program_id(1)
+        a = a_ref[:]
+        lo, hi = lo_ref[:], hi_ref[:]
+        olo, ohi = lo, hi
+        lane = jax.lax.broadcasted_iota(jnp.int32, lo.shape, 1)
+        for w in range(nbits):
+            r = 1 << w
+            if r < N:
+                rlo = pltpu.roll(lo, jnp.int32(r), axis=1)
+                rhi = pltpu.roll(hi, jnp.int32(r), axis=1)
+                wrap = lane < r
+                nlo = jnp.where(wrap, -rlo, rlo)
+                nhi = jnp.where(wrap, ~rhi + (rlo == 0).astype(jnp.int32), rhi)
+            else:                                      # X^N = -1: negate all
+                nlo = -lo
+                nhi = ~hi + (lo == 0).astype(jnp.int32)
+            bit = ((a >> w) & 1) > 0
+            lo = jnp.where(bit, nlo, lo)
+            hi = jnp.where(bit, nhi, hi)
+        borrow = (lo.astype(jnp.uint32) < olo.astype(jnp.uint32)).astype(jnp.int32)
+        dlo = lo - olo
+        dhi = hi - ohi - borrow
+        slo = dlo + _i32(off_lo)
+        carry = (slo.astype(jnp.uint32) < jnp.uint32(off_lo)).astype(jnp.int32)
+        shi = dhi + _i32(off_hi) + carry
+        ulo, uhi = slo.astype(jnp.uint32), shi.astype(jnp.uint32)
+
+        lm = l * m
+        lmp = -(-lm // 128) * 128      # chunk stride padded to a lane tile
+
+        def store(lv, p, d8):
+            for uu in range(kp1):          # one real write per grid cell
+                @pl.when(u == uu)
+                def _(uu=uu):
+                    for c in range(C):
+                        off = (c * planes + p) * lmp + lv * m
+                        out_refs[uu][:, off:off + m] \
+                            = d8[:, c * m:(c + 1) * m]
+
+        for lv in range(l):
+            s = 64 - (lv + 1) * bgbit
+            if s >= 32:
+                v = uhi >> jnp.uint32(s - 32)
+            elif s + bgbit <= 32:
+                v = ulo >> jnp.uint32(s)
+            else:
+                v = (ulo >> jnp.uint32(s)) | (uhi << jnp.uint32(32 - s))
+            d = (v & jnp.uint32(mask)).astype(jnp.int32) - half
+            if planes == 1:
+                store(lv, 0, d.astype(jnp.int8))
+            else:                                      # balanced base-2^7
+                p0 = ((d + 64) & 127) - 64
+                p1 = (d - p0) >> 7
+                store(lv, 0, p0.astype(jnp.int8))
+                store(lv, 1, p1.astype(jnp.int8))
+    return kernel
+
+
+def rotate_decompose64_ck(a, acc_lo, acc_hi, *, l: int, bgbit: int,
+                          offset: int, m: int, planes: int = 1,
+                          tb: int = 256, interpret: bool = False):
+    """rotate_decompose64 emitting digits DIRECTLY in ck_dot64p's chunk
+    layout — no XLA transpose between the kernels (measured 127 us/step of
+    pure layout copies at CB_MXU/B=256).
+
+    acc_lo/acc_hi: (k+1, B, N) int32 — the U-MAJOR pair layout the 64-bit
+    scan carries; each grid cell serves one u.  Returns a list of k+1
+    digit arrays, one per input polynomial, each (B, C*planes*lmp) int8
+    (lmp = l*m rounded up to 128) with chunk (c, p) at columns
+    [(c*planes+p)*lmp, +l*m), (level, s)-major; the pad lanes keep every
+    MXU operand load 128-aligned and are never read.
+    All refs stay rank-2: Mosaic rejects narrow (sub-128-lane) stores into
+    higher-rank blocks (vector reshape (tb,m)->(tb,1,m) fails to lower)
+    but takes the same store into a 2-D ref at 64-multiple offsets."""
+    kp1, B, N = acc_lo.shape
+    tb = min(tb, B)
+    assert B % tb == 0 and N % m == 0
+    assert planes in (1, 2)
+    C = N // m
+    nbits = (2 * N - 1).bit_length()
+    nb = B // tb
+    lmp = -(-(l * m) // 128) * 128
+    a2 = a.astype(jnp.int32)[:, None]                       # (B, 1)
+    outs = pl.pallas_call(
+        _rotdec64_ck_kernel(N, kp1, l, bgbit, offset, nbits, planes, m),
+        grid=(nb, kp1),        # u INNER: out blocks stay resident across u
+        in_specs=[
+            pl.BlockSpec((tb, 1), lambda i, u: (i, u - u)),
+            pl.BlockSpec((tb, N), lambda i, u: (u * nb + i, u - u)),
+            pl.BlockSpec((tb, N), lambda i, u: (u * nb + i, u - u)),
+        ],
+        out_specs=[pl.BlockSpec((tb, C * planes * lmp),
+                                lambda i, u: (i, u - u))] * kp1,
+        out_shape=[jax.ShapeDtypeStruct((B, C * planes * lmp), jnp.int8)
+                   ] * kp1,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(a2, acc_lo.reshape(kp1 * B, N), acc_hi.reshape(kp1 * B, N))
+    return outs
+
+
+def _ck64p_kernel(N, m, P, C, lm, kp1, lgsize):
+    Npm = N + m
+    lmp = -(-lm // 128) * 128
+
+    def kernel(*refs):
+        x_refs = refs[:kp1]
+        w_ref = refs[kp1]
+        out_ref = refs[kp1 + 1]
+        sacc_ref = refs[kp1 + 2]
         for li in range(lgsize):
             sacc_ref[:, :] = jnp.zeros(sacc_ref.shape, jnp.int32)
             for c in range(C):
                 y = None
-                for p in range(P):
-                    xs = x_ref[:, pl.ds((c * P + p) * Jm, Jm)]
-                    yp = jnp.dot(xs, w_ref[li],
-                                 preferred_element_type=jnp.int32)
-                    yp = (yp << 7) if p else yp        # plane weight 2^(7p)
-                    y = yp if y is None else y + yp
+                for ui in range(kp1):
+                    for p in range(P):
+                        xs = x_refs[ui][:, pl.ds((c * P + p) * lmp, lm)]
+                        yp = jnp.dot(xs, w_ref[li, pl.ds(ui * lm, lm), :],
+                                     preferred_element_type=jnp.int32)
+                        yp = (yp << 7) if p else yp    # plane weight 2^(7p)
+                        y = yp if y is None else y + yp
                 sacc_ref[:, pl.ds(c * m, Npm)] += y
             out_ref[li, :, :] = (sacc_ref[:, pl.ds(0, N)]
                                  - sacc_ref[:, pl.ds(N, N)])
     return kernel
 
 
-def ck_dot64(x, wm, *, N: int, m: int, planes: int = 1, tm: int = 128,
-             lgsize: int = 2, interpret: bool = False):
-    """Chunked-key negacyclic contraction, per-limb int32 outputs.
+def ck_dot64p(xs, wm, *, N: int, m: int, planes: int = 1, tm: int = 128,
+              lgsize: int = 2, interpret: bool = False):
+    """Chunked-key negacyclic contraction, per-limb int32 outputs, with the
+    contraction rows split per input polynomial (the rotate_decompose64_ck
+    digit layout — zero relayout between the kernels).
 
-    x:  (B, C*P*J*m) int8 digit chunks, laid out (c, plane, j, s)-major.
-    wm: (U*L, J*m, N+m) int8 pre-shifted key limbs (ChunkedEngine.prepare).
-    Returns (U*L, B, N) int32: the folded negacyclic product of the digits
-    with each key limb; the (64-bit) limb recombination happens outside in
-    i64pair arithmetic so this kernel is pure int8 MXU + int32 adds.
-    """
-    B, xw = x.shape
+    xs: list of k+1 digit arrays (B, C*P*l*m) int8
+        (rotate_decompose64_ck layout).
+    wm: (U*L, J*m, N+m) int8, rows (j, s)-major (ChunkedEngine.prepare).
+    Returns (U*L, B, N) int32 folded per-limb products; the 64-bit limb
+    recombination happens outside in i64pair arithmetic."""
+    kp1 = len(xs)
+    B, CPlmp = xs[0].shape
     UL, Jm, Npm = wm.shape
     C = N // m
-    assert xw == C * planes * Jm and Npm == N + m and N % m == 0
+    P = planes
+    lm = Jm // kp1
+    lmp = -(-lm // 128) * 128
+    assert Npm == N + m and CPlmp == C * P * lmp
     assert UL % lgsize == 0 and B % tm == 0
     ng = UL // lgsize
     return pl.pallas_call(
-        _ck64_kernel(N, m, planes, C, Jm, lgsize),
+        _ck64p_kernel(N, m, P, C, lm, kp1, lgsize),
         grid=(B // tm, ng),
-        in_specs=[
-            pl.BlockSpec((tm, xw), lambda i, g: (i, i - i)),
+        in_specs=[pl.BlockSpec((tm, CPlmp), lambda i, g: (i, i - i))
+                  ] * kp1 + [
             pl.BlockSpec((lgsize, Jm, Npm), lambda i, g: (g, i - i, i - i)),
         ],
         out_specs=pl.BlockSpec((lgsize, tm, N), lambda i, g: (g, i, i - i)),
@@ -708,7 +829,174 @@ def ck_dot64(x, wm, *, N: int, m: int, planes: int = 1, tm: int = 128,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(x, wm)
+    )(*xs, wm)
+
+
+# ---------------------------------------------------------------------------
+# Fused 32-bit chunked-key CMux step — the N=1024 gate path.
+#
+# fused_cmux_step_v2 (dense per-step Toeplitz via materialize_w) starves
+# VMEM above N=512: its full-width key blocks are 2*(L, N, (k+1)N) int8 =
+# 12.6 MB at N=1024 (engine.py history).  The chunked-key form needs only
+# (J*m, L, N+m) per output polynomial (~1.25 MB at N=1024/m=64) because the
+# negacyclic structure was factored into m pre-shifted key copies at keygen
+# — so the same fully-fused schedule (rotation/decomposition of the NEXT
+# batch tile software-pipelined under the current tile's MXU dots) fits
+# comfortably at N=1024.  Limb recombination is exact mod 2^32 (shifts
+# wrap), so it fuses into the chunk loop at no carry cost.
+# ---------------------------------------------------------------------------
+
+
+def _ck_cmux32_kernel(N, m, C, kp1, l, L, bgbit, offset, key_shift, nb,
+                      skip_vpu=False):
+    lm = l * m
+    Npm = N + m
+    nbits = (N - 1).bit_length()               # cyclic-roll stages (mod N)
+    half = 1 << (bgbit - 1)
+    dmask = (1 << bgbit) - 1
+    n_units = kp1 * (2 + nbits + l)            # full tile rotation pipeline
+    # VPU unit q runs in cell u = unit_cell[q] of the tile's kp1 MXU cells
+    unit_cell = [min(q * kp1 // n_units, kp1 - 1) for q in range(n_units)]
+
+    def kernel(acur_ref, anext_ref, acc_ref, accn_ref, w_ref, out_ref,
+               rot_ref, orig_ref, arot_ref, *digs_flat):
+        i = pl.program_id(0)
+        u = pl.program_id(1)
+        # digs_flat: kp1 ping + kp1 pong scratch, each (tm, C, lm) int8
+        digs = (digs_flat[:kp1], digs_flat[kp1:])
+
+        # ---- VPU pipeline units (build tile src's digits) ---------------
+        def unit_seed(ui, next_tile):
+            src = accn_ref if next_tile else acc_ref
+            orig_ref[:, :] = src[:, pl.ds(ui * N, N)]
+            rot_ref[:, :] = src[:, pl.ds(ui * N, N)]
+            arot_ref[:, :] = anext_ref[:] if next_tile else acur_ref[:]
+
+        def unit_roll(w):
+            r = 1 << w
+            rolled = pltpu.roll(rot_ref[:], jnp.int32(r), axis=1)
+            bit = ((arot_ref[:] >> w) & 1) > 0
+            rot_ref[:, :] = jnp.where(bit, rolled, rot_ref[:])
+
+        def unit_sign():
+            x = rot_ref[:]
+            aN = arot_ref[:] & jnp.int32(N - 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+            hi = (arot_ref[:] >> jnp.int32(nbits)) & 1
+            neg = (lane < aN).astype(jnp.int32) ^ hi
+            rot_ref[:, :] = jnp.where(neg > 0, -x, x)
+
+        def unit_extract(ui, lv, wbufs):
+            d32 = (rot_ref[:] - orig_ref[:]).astype(jnp.uint32) + jnp.uint32(offset)
+            s = 32 - (lv + 1) * bgbit
+            d = ((d32 >> jnp.uint32(s)) & jnp.uint32(dmask)).astype(jnp.int32) - half
+            d8 = d.astype(jnp.int8)
+            for c in range(C):
+                wbufs[ui][:, c * lm + lv * m:c * lm + (lv + 1) * m] = \
+                    d8[:, c * m:(c + 1) * m]
+
+        def run_unit(q, wbufs, next_tile):
+            ui, uq = q // (2 + nbits + l), q % (2 + nbits + l)
+            if uq == 0:
+                unit_seed(ui, next_tile)
+            elif uq <= nbits:
+                unit_roll(uq - 1)
+            elif uq == nbits + 1:
+                unit_sign()
+            else:
+                unit_extract(ui, uq - nbits - 2, wbufs)
+
+        if not skip_vpu:
+            # prologue: tile 0's digits built whole before its first dot
+            @pl.when((i == 0) & (u == 0))
+            def _():
+                for q in range(n_units):
+                    run_unit(q, digs[0], next_tile=False)
+
+            # steady state: next tile's digits, spread over this tile's cells
+            for wb in range(2):
+                @pl.when(((i + 1) & 1) == wb)
+                def _(wb=wb):
+                    for uu in range(kp1):
+                        @pl.when(u == uu)
+                        def _(uu=uu, wb=wb):
+                            for q in range(n_units):
+                                if unit_cell[q] == uu:
+                                    run_unit(q, digs[wb], next_tile=True)
+
+        # ---- MXU: all chunks for output poly u, recombined in int32 -----
+        sacc_ref = digs_flat[2 * kp1]              # (tm, 2N) ring scratch
+        for rb in range(2):
+            @pl.when((i & 1) == rb)
+            def _(rb=rb):
+                sacc_ref[:, :] = jnp.zeros(sacc_ref.shape, jnp.int32)
+                for c in range(C):
+                    y = None
+                    for li in range(L):
+                        d = None
+                        for ui in range(kp1):
+                            yp = jnp.dot(digs[rb][ui][:, pl.ds(c * lm, lm)],
+                                         w_ref[li, pl.ds(ui * lm, lm), :],
+                                         preferred_element_type=jnp.int32)
+                            d = yp if d is None else d + yp
+                        sh = 8 * li + key_shift
+                        d = d << sh if sh else d
+                        y = d if y is None else y + d
+                    sacc_ref[:, pl.ds(c * m, Npm)] += y
+                for uu in range(kp1):
+                    @pl.when(u == uu)
+                    def _(uu=uu):
+                        out_ref[:, :] = (acc_ref[:, pl.ds(uu * N, N)]
+                                         + sacc_ref[:, pl.ds(0, N)]
+                                         - sacc_ref[:, pl.ds(N, N)])
+    return kernel
+
+
+def ck_cmux_step32(a, acc, wm, *, l: int, bgbit: int, offset: int,
+                   key_shift: int = 0, m: int = 64, tm: int = 256,
+                   _skip_vpu: bool = False, interpret: bool = False):
+    """One 32-bit blind-rotation step, fully fused, chunked pre-shifted keys:
+
+        out = acc + recombine(decompose((X^a - 1) * acc) @ wm)
+
+    a:   (B,) int32 exponents in [0, 2N)
+    acc: (B, k+1, N) int32 TRLWE accumulator batch
+    wm:  (U*L, J*m, N+m) int8 pre-shifted key limbs (ChunkedEngine.prepare)
+    Returns (B, k+1, N) int32.
+    """
+    B, kp1, N = acc.shape
+    UL, Jm, Npm = wm.shape
+    L = UL // kp1
+    lm = l * m
+    assert Jm == kp1 * lm and Npm == N + m and B % tm == 0 and N % m == 0
+    C = N // m
+    nb = B // tm
+    a2 = a.astype(jnp.int32)[:, None]
+    out = pl.pallas_call(
+        _ck_cmux32_kernel(N, m, C, kp1, l, L, bgbit, offset, key_shift, nb,
+                          skip_vpu=_skip_vpu),
+        grid=(nb, kp1),
+        in_specs=[  # i - i: typed zero (literal 0 is i64 under x64)
+            pl.BlockSpec((tm, 1), lambda i, u: (i, i - i)),
+            pl.BlockSpec((tm, 1), lambda i, u: (jnp.minimum(i + 1, nb - 1), i - i)),
+            pl.BlockSpec((tm, kp1 * N), lambda i, u: (i, i - i)),
+            pl.BlockSpec((tm, kp1 * N), lambda i, u: (jnp.minimum(i + 1, nb - 1), i - i)),
+            pl.BlockSpec((L, Jm, Npm), lambda i, u: (u, i - i, i - i)),
+        ],
+        out_specs=pl.BlockSpec((tm, N), lambda i, u: (i, u)),
+        out_shape=jax.ShapeDtypeStruct((B, kp1 * N), jnp.int32),
+        scratch_shapes=(
+            [pltpu.VMEM((tm, N), jnp.int32),         # rot
+             pltpu.VMEM((tm, N), jnp.int32),         # orig
+             pltpu.VMEM((tm, 1), jnp.int32)]         # arot
+            + [pltpu.VMEM((tm, C * lm), jnp.int8)] * (2 * kp1)  # dig ping/pong
+            + [pltpu.VMEM((tm, 2 * N), jnp.int32)]   # ring accumulator
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(a2, a2, acc.reshape(B, kp1 * N), acc.reshape(B, kp1 * N), wm)
+    return out.reshape(B, kp1, N)
 
 
 def _mm_recombine_kernel(L, shift_base, nk):

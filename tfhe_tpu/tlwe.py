@@ -40,7 +40,11 @@ def _host_key_times_fft(key, x, bits):
         _fft, _kw = np.fft, {}
     key = np.asarray(key)
     k, N = key.shape
-    assert key.min() >= 0 and key.max() <= 1, "fast path requires binary keys"
+    # exactness bound: the true convolution coefficients are bounded by
+    # (#nonzero key coords) * 2^32 per 32-bit limb; with binary keys that is
+    # k*N * 2^32, which must sit far enough inside float64's 2^53 exact
+    # range for the FFT rounding (~coeff * 11 * 2^-52) to stay below 0.5.
+    assert k * N <= 4096, "FFT fast path exactness bound needs k*N <= 4096"
     sf = _fft.rfft(key.astype(np.float64), 2 * N, axis=-1, **_kw)  # (k, N+1)
 
     def conv(limb):                      # limb: (..., k, N) float64
@@ -85,10 +89,17 @@ class TLweKey:
         return self._eng, self._prep
 
     def key_times(self, x):
-        """sum_i s_i (*) x[..., i, :] for x (..., k, N) torus."""
-        if not isinstance(x, jax.core.Tracer):
+        """sum_i s_i (*) x[..., i, :] for x (..., k, N) torus.
+
+        Concrete BINARY keys within the FFT exactness bound take the host
+        fast path; anything else (tracers, non-binary keys from from_bits,
+        rings with k*N > 4096) uses the exact limb-matmul engine."""
+        key = np.asarray(self.key)
+        if (not isinstance(x, jax.core.Tracer)
+                and key.min() >= 0 and key.max() <= 1
+                and key.shape[0] * key.shape[1] <= 4096):
             return jnp.asarray(_host_key_times_fft(
-                np.asarray(self.key), np.asarray(x), self.params.bits))
+                key, np.asarray(x), self.params.bits))
         eng, prep = self.engine()
         return eng.accumulate(x, prep)[..., 0, :]
 

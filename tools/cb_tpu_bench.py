@@ -37,6 +37,8 @@ t0 = time.time()
 rng = TfheRng(0)
 cache = os.environ.get("CB_KEYCACHE", "/tmp/cb_keys_%s_%s.npz"
                        % (os.environ.get("CB_PARAMS", "active"), backend))
+if backend == "chunked":
+    cache = None          # wm is ~8 GB (m-fold pre-shift blowup): no npz
 sk = circuit.CircuitSecretKey.generate(p, rng)
 if cache and os.path.exists(cache):
     # bk is an engine-prepared pytree; leaves saved as bk_<key> arrays
