@@ -73,6 +73,30 @@ def blind_rotate(acc, bk_prepared, abar, p: TGswParams, backend: str = "matmul",
                             unroll=unroll)
         return jnp.moveaxis(i64pair.to_i64(*carry), 0, -2)
 
+    # 32-bit chunked engines: carry the accumulator FLAT through the scan
+    # (the (B, k+1, N) int32 view tiles with padded sublanes on TPU, so
+    # reshaping it inside every step costs ~100 us of relayout copies).
+    if (p.tlwe.bits == 32 and hasattr(eng, "cmux_step_flat")
+            and jax.default_backend() == "tpu"):
+        B, kp1, N = acc.shape
+
+        def step_flat(accf, xs):
+            prep_i, a_i = xs
+            out = eng.cmux_step_flat(a_i, accf, prep_i, kp1=kp1, l=p.l,
+                                     bgbit=p.bgbit, offset=p.offset)
+            return out, None
+
+        probe = eng.cmux_step_flat(abar[:, 0], acc.reshape(B, kp1 * N),
+                                   jax.tree_util.tree_map(lambda v: v[0],
+                                                          bk_prepared),
+                                   kp1=kp1, l=p.l, bgbit=p.bgbit,
+                                   offset=p.offset)
+        if probe is not None:   # eligibility is static; probe is DCE'd
+            accf, _ = lax.scan(step_flat, acc.reshape(B, kp1 * N),
+                               (bk_prepared, jnp.moveaxis(abar, -1, 0)),
+                               unroll=unroll)
+            return accf.reshape(B, kp1, N)
+
     def step(acc, xs):
         prep_i, a_i = xs
         # Whole CMux in one Pallas kernel (rotation pipelined under the

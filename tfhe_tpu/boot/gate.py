@@ -82,12 +82,22 @@ class CloudKey:
             gsw = tgsw.encrypt(sk.ring_key, sk.lwe_key.key, p.tgsw, rng,
                                stdev=p.tgsw.tlwe.stdev)   # (n, k+1, l, k+1, N)
             eng = tgsw.make_engine(tgsw.engine_config(p.tgsw), backend)
-            prep = jax.lax.map(lambda g: eng.prepare(tgsw.rows(g)), gsw)
+            if backend != "chunked":
+                prep = jax.lax.map(lambda g: eng.prepare(tgsw.rows(g)), gsw)
             ksk = lwe.KeySwitchKey.generate(sk.extracted_key, sk.lwe_key,
                                             p.ks, rng, keep_raw=keep_raw_ks)
         dev = jax.devices()[0]
-        if dev.platform != "cpu":
+        if backend == "chunked":
+            # build the m-fold pre-shifted key ON the accelerator from the
+            # raw TRGSW (shipping ~GBs of wm across the host link would
+            # dominate keygen; the raw bk is n*(k+1)^2*l*N torus words)
+            if dev.platform != "cpu":
+                gsw = jax.device_put(gsw, dev)
+            prep = jax.jit(lambda g: jax.lax.map(
+                lambda x: eng.prepare(tgsw.rows(x)), g))(gsw)
+        elif dev.platform != "cpu":
             prep = jax.device_put(prep, dev)
+        if dev.platform != "cpu":
             ksk = dataclasses.replace(
                 ksk, w_limbs=jax.device_put(ksk.w_limbs, dev))
         return CloudKey(p, backend, prep, ksk)

@@ -515,21 +515,38 @@ class ChunkedEngine(_EngineBase):
             out = v if out is None else out + v
         return out.reshape(*lead, U, N)
 
-    def cmux_step(self, a, acc, prepared, *, l, bgbit, offset, tm=256):
-        """32-bit fused chunked CMux (ck_cmux_step32) — the N=1024 gate
-        path where the dense-Toeplitz fused_cmux_step_v2 starves VMEM.
-        Returns None when ineligible (off-TPU, 64-bit, multi-plane)."""
+    def _ck32_ok(self, B, bgbit, tm):
         import jax as _jax
         cfg = self.cfg
-        B = acc.shape[0]
-        if not (_jax.default_backend() == "tpu" and cfg.out_bits == 32
+        return (_jax.default_backend() == "tpu" and cfg.out_bits == 32
                 and cfg.kbits == 32 and cfg.plane_split[1] == 1
-                and bgbit <= 8 and acc.ndim == 3 and B % min(tm, B) == 0):
+                and bgbit <= 8 and B % min(tm, B) == 0)
+
+    def cmux_step(self, a, acc, prepared, *, l, bgbit, offset, tm=128):
+        """32-bit fused chunked CMux (ck_cmux_step32) — the N=1024 gate
+        path where the dense-Toeplitz fused_cmux_step_v2 starves VMEM
+        (measured 1124 us/step at GATE_MXU/B=4096/tm=128 vs 1864 for the
+        separate kernels).  Returns None when ineligible."""
+        if not (acc.ndim == 3 and self._ck32_ok(acc.shape[0], bgbit, tm)):
             return None
         from tfhe_tpu.ops.pallas_kernels import ck_cmux_step32
         return ck_cmux_step32(a, acc, prepared["wm"], l=l, bgbit=bgbit,
-                              offset=offset, key_shift=cfg.key_shift,
-                              m=self.m, tm=min(tm, B))
+                              offset=offset, key_shift=self.cfg.key_shift,
+                              m=self.m, tm=min(tm, acc.shape[0]))
+
+    def cmux_step_flat(self, a, acc_flat, prepared, *, kp1, l, bgbit,
+                       offset, tm=128):
+        """cmux_step on the flat (B, (k+1)*N) scan-carry layout — avoids
+        ~100 us/step of XLA sublane-padding relayouts (see ck_cmux_step32).
+        Returns None when ineligible."""
+        if not (acc_flat.ndim == 2
+                and self._ck32_ok(acc_flat.shape[0], bgbit, tm)):
+            return None
+        from tfhe_tpu.ops.pallas_kernels import ck_cmux_step32
+        return ck_cmux_step32(a, acc_flat, prepared["wm"], l=l, bgbit=bgbit,
+                              offset=offset, key_shift=self.cfg.key_shift,
+                              m=self.m, tm=min(tm, acc_flat.shape[0]),
+                              kp1=kp1)
 
     def cmux_pair_step(self, a, acc_pair, prepared, *, l: int, bgbit: int,
                        offset: int, tm: int = 128, lgsize: int | None = None):

@@ -953,18 +953,27 @@ def _ck_cmux32_kernel(N, m, C, kp1, l, L, bgbit, offset, key_shift, nb,
 
 
 def ck_cmux_step32(a, acc, wm, *, l: int, bgbit: int, offset: int,
-                   key_shift: int = 0, m: int = 64, tm: int = 256,
+                   key_shift: int = 0, m: int = 64, tm: int = 128,
+                   kp1: int | None = None,
                    _skip_vpu: bool = False, interpret: bool = False):
     """One 32-bit blind-rotation step, fully fused, chunked pre-shifted keys:
 
         out = acc + recombine(decompose((X^a - 1) * acc) @ wm)
 
     a:   (B,) int32 exponents in [0, 2N)
-    acc: (B, k+1, N) int32 TRLWE accumulator batch
+    acc: (B, k+1, N) int32 TRLWE accumulator batch — or, with kp1 given,
+         the FLAT (B, (k+1)*N) form (scan-carry layout: the (B, k+1, N)
+         int32 view gets a padded sublane tiling on TPU, so reshaping it
+         per step costs ~100 us of XLA relayout copies at B=4096/N=1024)
     wm:  (U*L, J*m, N+m) int8 pre-shifted key limbs (ChunkedEngine.prepare)
-    Returns (B, k+1, N) int32.
+    Returns acc-shaped int32.
     """
-    B, kp1, N = acc.shape
+    flat = kp1 is not None
+    if not flat:
+        B, kp1, N = acc.shape
+    else:
+        B = acc.shape[0]
+        N = acc.shape[1] // kp1
     UL, Jm, Npm = wm.shape
     L = UL // kp1
     lm = l * m
@@ -996,7 +1005,7 @@ def ck_cmux_step32(a, acc, wm, *, l: int, bgbit: int, offset: int,
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(a2, a2, acc.reshape(B, kp1 * N), acc.reshape(B, kp1 * N), wm)
-    return out.reshape(B, kp1, N)
+    return out if flat else out.reshape(B, kp1, N)
 
 
 def _mm_recombine_kernel(L, shift_base, nk):
