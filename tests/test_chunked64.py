@@ -121,22 +121,21 @@ def test_rotate_decompose64_ck_layout(N, k, l, bgbit, m):
     plain = rotate_decompose64(jnp.asarray(a), lo, hi, l=l, bgbit=bgbit,
                                offset=p.offset, planes=P, tb=B * (k + 1),
                                interpret=True)
-    # plain: (B*(k+1), l*P, N) -> per-u (B, C*P, l*m)
+    # plain: (B*(k+1), l*P, N); target x[b, (c*P+p)*ckp + (u*l+lv)*m + s]
     x = np.asarray(plain).reshape(B, k + 1, l, P, C, m)
     lou, hiu = i64pair.from_i64(jnp.moveaxis(jnp.asarray(acc), -2, 0))
-    got = rotate_decompose64_ck(
+    got = np.asarray(rotate_decompose64_ck(
         jnp.asarray(a), lou, hiu, l=l, bgbit=bgbit, offset=p.offset,
-        m=m, planes=P, tb=B, interpret=True)
-    assert len(got) == k + 1
-    lmp = -(-(l * m) // 128) * 128
+        m=m, planes=P, tb=B, interpret=True))
+    ckp = -(-((k + 1) * l * m) // 128) * 128
+    got = got.reshape(B, C * P, ckp)
     for u in range(k + 1):
-        # want[u][b, (c*P + pp)*lmp + lv*m + s] = x[b, u, lv, pp, c, s]
-        w2 = np.asarray(got[u]).reshape(B, C * P, lmp)
         for lv in range(l):
             for pp in range(P):
                 for c in range(C):
+                    off = (u * l + lv) * m
                     np.testing.assert_array_equal(
-                        w2[:, c * P + pp, lv * m:(lv + 1) * m],
+                        got[:, c * P + pp, off:off + m],
                         x[:, u, lv, pp, c, :])
 
 
@@ -147,19 +146,16 @@ def test_ck_dot64p(N, kp1, l, U, L, m, P, lgsize):
     r = np.random.default_rng(2)
     C = N // m
     lm = l * m
+    Jm = kp1 * lm
+    ckp = -(-Jm // 128) * 128
     B = 8
-    lmp = -(-lm // 128) * 128
-    xs = [jnp.asarray(r.integers(-64, 64, (B, C * P * lmp)).astype(np.int8))
-          for _ in range(kp1)]
-    wm = r.integers(-128, 128, (U * L, kp1 * lm, N + m)).astype(np.int8)
-    got = np.asarray(ck_dot64p(xs, jnp.asarray(wm), N=N, m=m, planes=P,
+    x = jnp.asarray(r.integers(-64, 64, (B, C * P * ckp)).astype(np.int8))
+    wm = r.integers(-128, 128, (U * L, Jm, N + m)).astype(np.int8)
+    got = np.asarray(ck_dot64p(x, jnp.asarray(wm), N=N, m=m, planes=P,
                                tm=8, lgsize=lgsize, interpret=True))
     # reference via ChunkedEngine._fold_dot: xc (P, B, C, Jm)
-    xc = np.zeros((P, B, C, kp1 * lm), np.int8)
-    for ui in range(kp1):
-        xnp = np.asarray(xs[ui]).reshape(B, C, P, lmp)
-        for p in range(P):
-            xc[p, :, :, ui * lm:(ui + 1) * lm] = xnp[:, :, p, :lm]
+    xr = np.asarray(x).reshape(B, C, P, ckp)
+    xc = np.stack([xr[:, :, p, :Jm] for p in range(P)])   # (P, B, C, Jm)
     cfg = EngineConfig(N=N, out_bits=64, digit_bits=8 if P == 1 else 9)
     ce = ChunkedEngine(cfg, m=m)
     want = np.asarray(ce._fold_dot(jnp.asarray(xc), jnp.asarray(wm)))
@@ -185,11 +181,11 @@ def test_cmux_pair_composition(N, k, l, bgbit, klimbs):
                       + ce.accumulate(decompose_tlwe(acc2, p), prep))
     lo, hi = i64pair.from_i64(jnp.moveaxis(jnp.asarray(acc), -2, 0))
     pb, P = cfg.plane_split
-    xs = rotate_decompose64_ck(jnp.asarray(a), lo, hi, l=l, bgbit=bgbit,
-                               offset=p.offset, m=ce.m, planes=P, tb=B,
-                               interpret=True)
+    x = rotate_decompose64_ck(jnp.asarray(a), lo, hi, l=l, bgbit=bgbit,
+                              offset=p.offset, m=ce.m, planes=P, tb=B,
+                              interpret=True)
     UL = (k + 1) * cfg.num_limbs
-    y = ck_dot64p(xs, prep["wm"], N=N, m=ce.m, planes=P, tm=B,
+    y = ck_dot64p(x, prep["wm"], N=N, m=ce.m, planes=P, tm=B,
                   lgsize=2 if UL % 2 == 0 else 1, interpret=True)
     y = y.reshape(k + 1, cfg.num_limbs, B, N)
     zlo = zhi = None

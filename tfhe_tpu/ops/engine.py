@@ -569,11 +569,11 @@ class ChunkedEngine(_EngineBase):
         UL, Jm, Npm = wm.shape
         L = cfg.num_limbs
         m = self.m
-        xs = rotate_decompose64_ck(a, lo, hi, l=l, bgbit=bgbit, offset=offset,
+        x = rotate_decompose64_ck(a, lo, hi, l=l, bgbit=bgbit, offset=offset,
                                    m=m, planes=P)
         if lgsize is None:
             lgsize = 2 if UL % 2 == 0 else 1
-        y = ck_dot64p(xs, wm, N=N, m=m, planes=P, tm=min(tm, B),
+        y = ck_dot64p(x, wm, N=N, m=m, planes=P, tm=min(tm, B),
                       lgsize=lgsize)
         y = y.reshape(kp1, L, B, N)
         zlo = zhi = None

@@ -659,14 +659,14 @@ def rotate_decompose64(a, acc_lo, acc_hi, *, l: int, bgbit: int, offset: int,
     )(a2, acc_lo.reshape(rows, N), acc_hi.reshape(rows, N))
 
 
-def _rotdec64_ck_kernel(N, kp1, l, bgbit, offset, nbits, planes, m):
+def _rotdec64_ck_kernel(N, kp1, l, bgbit, offset, nbits, planes, m, ckp):
     half = 1 << (bgbit - 1)
     mask = (1 << bgbit) - 1
     off_lo = offset & 0xFFFFFFFF
     off_hi = (offset >> 32) & 0xFFFFFFFF
     C = N // m
 
-    def kernel(a_ref, lo_ref, hi_ref, *out_refs):
+    def kernel(a_ref, lo_ref, hi_ref, out_ref):
         u = pl.program_id(1)
         a = a_ref[:]
         lo, hi = lo_ref[:], hi_ref[:]
@@ -694,17 +694,13 @@ def _rotdec64_ck_kernel(N, kp1, l, bgbit, offset, nbits, planes, m):
         shi = dhi + _i32(off_hi) + carry
         ulo, uhi = slo.astype(jnp.uint32), shi.astype(jnp.uint32)
 
-        lm = l * m
-        lmp = -(-lm // 128) * 128      # chunk stride padded to a lane tile
-
         def store(lv, p, d8):
             for uu in range(kp1):          # one real write per grid cell
                 @pl.when(u == uu)
                 def _(uu=uu):
                     for c in range(C):
-                        off = (c * planes + p) * lmp + lv * m
-                        out_refs[uu][:, off:off + m] \
-                            = d8[:, c * m:(c + 1) * m]
+                        off = (c * planes + p) * ckp + (uu * l + lv) * m
+                        out_ref[:, off:off + m] = d8[:, c * m:(c + 1) * m]
 
         for lv in range(l):
             s = 64 - (lv + 1) * bgbit
@@ -728,16 +724,16 @@ def _rotdec64_ck_kernel(N, kp1, l, bgbit, offset, nbits, planes, m):
 def rotate_decompose64_ck(a, acc_lo, acc_hi, *, l: int, bgbit: int,
                           offset: int, m: int, planes: int = 1,
                           tb: int = 256, interpret: bool = False):
-    """rotate_decompose64 emitting digits DIRECTLY in ck_dot64p's chunk
+    """rotate_decompose64 emitting digits DIRECTLY in ck_dot64's chunk
     layout — no XLA transpose between the kernels (measured 127 us/step of
     pure layout copies at CB_MXU/B=256).
 
     acc_lo/acc_hi: (k+1, B, N) int32 — the U-MAJOR pair layout the 64-bit
-    scan carries; each grid cell serves one u.  Returns a list of k+1
-    digit arrays, one per input polynomial, each (B, C*planes*lmp) int8
-    (lmp = l*m rounded up to 128) with chunk (c, p) at columns
-    [(c*planes+p)*lmp, +l*m), (level, s)-major; the pad lanes keep every
-    MXU operand load 128-aligned and are never read.
+    scan carries; each grid cell serves one u and both cells interleave
+    their writes into ONE digit array.  Returns (B, C*planes*ckp) int8
+    where ckp = (k+1)*l*m rounded up to a lane tile; chunk (c, p) holds
+    the full contraction operand (j=(u,level), s)-major at columns
+    [(c*planes+p)*ckp, +(k+1)*l*m) — one K=J*m MXU dot per chunk.
     All refs stay rank-2: Mosaic rejects narrow (sub-128-lane) stores into
     higher-rank blocks (vector reshape (tb,m)->(tb,1,m) fails to lower)
     but takes the same store into a 2-D ref at 64-multiple offsets."""
@@ -748,79 +744,67 @@ def rotate_decompose64_ck(a, acc_lo, acc_hi, *, l: int, bgbit: int,
     C = N // m
     nbits = (2 * N - 1).bit_length()
     nb = B // tb
-    lmp = -(-(l * m) // 128) * 128
+    ckp = -(-(kp1 * l * m) // 128) * 128
     a2 = a.astype(jnp.int32)[:, None]                       # (B, 1)
-    outs = pl.pallas_call(
-        _rotdec64_ck_kernel(N, kp1, l, bgbit, offset, nbits, planes, m),
-        grid=(nb, kp1),        # u INNER: out blocks stay resident across u
+    out = pl.pallas_call(
+        _rotdec64_ck_kernel(N, kp1, l, bgbit, offset, nbits, planes, m, ckp),
+        grid=(nb, kp1),        # u INNER: the out block stays resident
         in_specs=[
             pl.BlockSpec((tb, 1), lambda i, u: (i, u - u)),
             pl.BlockSpec((tb, N), lambda i, u: (u * nb + i, u - u)),
             pl.BlockSpec((tb, N), lambda i, u: (u * nb + i, u - u)),
         ],
-        out_specs=[pl.BlockSpec((tb, C * planes * lmp),
-                                lambda i, u: (i, u - u))] * kp1,
-        out_shape=[jax.ShapeDtypeStruct((B, C * planes * lmp), jnp.int8)
-                   ] * kp1,
+        out_specs=pl.BlockSpec((tb, C * planes * ckp),
+                               lambda i, u: (i, u - u)),
+        out_shape=jax.ShapeDtypeStruct((B, C * planes * ckp), jnp.int8),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
     )(a2, acc_lo.reshape(kp1 * B, N), acc_hi.reshape(kp1 * B, N))
-    return outs
+    return out
 
 
-def _ck64p_kernel(N, m, P, C, lm, kp1, lgsize):
+def _ck64p_kernel(N, m, P, C, Jm, ckp, lgsize):
     Npm = N + m
-    lmp = -(-lm // 128) * 128
 
-    def kernel(*refs):
-        x_refs = refs[:kp1]
-        w_ref = refs[kp1]
-        out_ref = refs[kp1 + 1]
-        sacc_ref = refs[kp1 + 2]
+    def kernel(x_ref, w_ref, out_ref, sacc_ref):
         for li in range(lgsize):
             sacc_ref[:, :] = jnp.zeros(sacc_ref.shape, jnp.int32)
             for c in range(C):
                 y = None
-                for ui in range(kp1):
-                    for p in range(P):
-                        xs = x_refs[ui][:, pl.ds((c * P + p) * lmp, lm)]
-                        yp = jnp.dot(xs, w_ref[li, pl.ds(ui * lm, lm), :],
-                                     preferred_element_type=jnp.int32)
-                        yp = (yp << 7) if p else yp    # plane weight 2^(7p)
-                        y = yp if y is None else y + yp
+                for p in range(P):
+                    xs = x_ref[:, pl.ds((c * P + p) * ckp, Jm)]
+                    yp = jnp.dot(xs, w_ref[li],
+                                 preferred_element_type=jnp.int32)
+                    yp = (yp << 7) if p else yp        # plane weight 2^(7p)
+                    y = yp if y is None else y + yp
                 sacc_ref[:, pl.ds(c * m, Npm)] += y
             out_ref[li, :, :] = (sacc_ref[:, pl.ds(0, N)]
                                  - sacc_ref[:, pl.ds(N, N)])
     return kernel
 
 
-def ck_dot64p(xs, wm, *, N: int, m: int, planes: int = 1, tm: int = 128,
+def ck_dot64p(x, wm, *, N: int, m: int, planes: int = 1, tm: int = 128,
               lgsize: int = 2, interpret: bool = False):
-    """Chunked-key negacyclic contraction, per-limb int32 outputs, with the
-    contraction rows split per input polynomial (the rotate_decompose64_ck
-    digit layout — zero relayout between the kernels).
+    """Chunked-key negacyclic contraction, per-limb int32 outputs.
 
-    xs: list of k+1 digit arrays (B, C*P*l*m) int8
-        (rotate_decompose64_ck layout).
+    x:  (B, C*P*ckp) int8 digits (rotate_decompose64_ck layout).
     wm: (U*L, J*m, N+m) int8, rows (j, s)-major (ChunkedEngine.prepare).
     Returns (U*L, B, N) int32 folded per-limb products; the 64-bit limb
     recombination happens outside in i64pair arithmetic."""
-    kp1 = len(xs)
-    B, CPlmp = xs[0].shape
+    B, CPckp = x.shape
     UL, Jm, Npm = wm.shape
     C = N // m
     P = planes
-    lm = Jm // kp1
-    lmp = -(-lm // 128) * 128
-    assert Npm == N + m and CPlmp == C * P * lmp
+    ckp = -(-Jm // 128) * 128
+    assert Npm == N + m and CPckp == C * P * ckp
     assert UL % lgsize == 0 and B % tm == 0
     ng = UL // lgsize
     return pl.pallas_call(
-        _ck64p_kernel(N, m, P, C, lm, kp1, lgsize),
+        _ck64p_kernel(N, m, P, C, Jm, ckp, lgsize),
         grid=(B // tm, ng),
-        in_specs=[pl.BlockSpec((tm, CPlmp), lambda i, g: (i, i - i))
-                  ] * kp1 + [
+        in_specs=[
+            pl.BlockSpec((tm, CPckp), lambda i, g: (i, i - i)),
             pl.BlockSpec((lgsize, Jm, Npm), lambda i, g: (g, i - i, i - i)),
         ],
         out_specs=pl.BlockSpec((lgsize, tm, N), lambda i, g: (g, i, i - i)),
@@ -829,7 +813,7 @@ def ck_dot64p(xs, wm, *, N: int, m: int, planes: int = 1, tm: int = 128,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary")),
         interpret=interpret,
-    )(*xs, wm)
+    )(x, wm)
 
 
 # ---------------------------------------------------------------------------
@@ -850,6 +834,8 @@ def ck_dot64p(xs, wm, *, N: int, m: int, planes: int = 1, tm: int = 128,
 def _ck_cmux32_kernel(N, m, C, kp1, l, L, bgbit, offset, key_shift, nb,
                       skip_vpu=False):
     lm = l * m
+    ckp = -(-(kp1 * lm) // 128) * 128      # interleaved chunk stride
+    Jm = kp1 * lm
     Npm = N + m
     nbits = (N - 1).bit_length()               # cyclic-roll stages (mod N)
     half = 1 << (bgbit - 1)
@@ -862,8 +848,9 @@ def _ck_cmux32_kernel(N, m, C, kp1, l, L, bgbit, offset, key_shift, nb,
                rot_ref, orig_ref, arot_ref, *digs_flat):
         i = pl.program_id(0)
         u = pl.program_id(1)
-        # digs_flat: kp1 ping + kp1 pong scratch, each (tm, C, lm) int8
-        digs = (digs_flat[:kp1], digs_flat[kp1:])
+        # digs_flat: ping + pong scratch + ring accumulator; dig buffers
+        # hold the interleaved (j=(u_in,level), s) operand per chunk
+        digs = digs_flat[:2]
 
         # ---- VPU pipeline units (build tile src's digits) ---------------
         def unit_seed(ui, next_tile):
@@ -886,16 +873,16 @@ def _ck_cmux32_kernel(N, m, C, kp1, l, L, bgbit, offset, key_shift, nb,
             neg = (lane < aN).astype(jnp.int32) ^ hi
             rot_ref[:, :] = jnp.where(neg > 0, -x, x)
 
-        def unit_extract(ui, lv, wbufs):
+        def unit_extract(ui, lv, wbuf):
             d32 = (rot_ref[:] - orig_ref[:]).astype(jnp.uint32) + jnp.uint32(offset)
             s = 32 - (lv + 1) * bgbit
             d = ((d32 >> jnp.uint32(s)) & jnp.uint32(dmask)).astype(jnp.int32) - half
             d8 = d.astype(jnp.int8)
             for c in range(C):
-                wbufs[ui][:, c * lm + lv * m:c * lm + (lv + 1) * m] = \
-                    d8[:, c * m:(c + 1) * m]
+                off = c * ckp + (ui * l + lv) * m
+                wbuf[:, off:off + m] = d8[:, c * m:(c + 1) * m]
 
-        def run_unit(q, wbufs, next_tile):
+        def run_unit(q, wbuf, next_tile):
             ui, uq = q // (2 + nbits + l), q % (2 + nbits + l)
             if uq == 0:
                 unit_seed(ui, next_tile)
@@ -904,7 +891,7 @@ def _ck_cmux32_kernel(N, m, C, kp1, l, L, bgbit, offset, key_shift, nb,
             elif uq == nbits + 1:
                 unit_sign()
             else:
-                unit_extract(ui, uq - nbits - 2, wbufs)
+                unit_extract(ui, uq - nbits - 2, wbuf)
 
         if not skip_vpu:
             # prologue: tile 0's digits built whole before its first dot
@@ -925,7 +912,7 @@ def _ck_cmux32_kernel(N, m, C, kp1, l, L, bgbit, offset, key_shift, nb,
                                     run_unit(q, digs[wb], next_tile=True)
 
         # ---- MXU: all chunks for output poly u, recombined in int32 -----
-        sacc_ref = digs_flat[2 * kp1]              # (tm, 2N) ring scratch
+        sacc_ref = digs_flat[2]                    # (tm, 2N) ring scratch
         for rb in range(2):
             @pl.when((i & 1) == rb)
             def _(rb=rb):
@@ -933,12 +920,9 @@ def _ck_cmux32_kernel(N, m, C, kp1, l, L, bgbit, offset, key_shift, nb,
                 for c in range(C):
                     y = None
                     for li in range(L):
-                        d = None
-                        for ui in range(kp1):
-                            yp = jnp.dot(digs[rb][ui][:, pl.ds(c * lm, lm)],
-                                         w_ref[li, pl.ds(ui * lm, lm), :],
-                                         preferred_element_type=jnp.int32)
-                            d = yp if d is None else d + yp
+                        d = jnp.dot(digs[rb][:, pl.ds(c * ckp, Jm)],
+                                    w_ref[li],
+                                    preferred_element_type=jnp.int32)
                         sh = 8 * li + key_shift
                         d = d << sh if sh else d
                         y = d if y is None else y + d
@@ -998,7 +982,8 @@ def ck_cmux_step32(a, acc, wm, *, l: int, bgbit: int, offset: int,
             [pltpu.VMEM((tm, N), jnp.int32),         # rot
              pltpu.VMEM((tm, N), jnp.int32),         # orig
              pltpu.VMEM((tm, 1), jnp.int32)]         # arot
-            + [pltpu.VMEM((tm, C * lm), jnp.int8)] * (2 * kp1)  # dig ping/pong
+            + [pltpu.VMEM((tm, C * (-(-(kp1 * l * m) // 128) * 128)),
+                          jnp.int8)] * 2               # dig ping/pong
             + [pltpu.VMEM((tm, 2 * N), jnp.int32)]   # ring accumulator
         ),
         compiler_params=pltpu.CompilerParams(
