@@ -42,13 +42,15 @@ def test_shared_rotation_penalty_gates_the_optimization():
     assert noise.shared_rotation_penalty(CB_TOY) > 1.0  # not free even on toy
 
 
-def test_boolean_circuit_adder():
+def test_boolean_circuit_adder_batched():
+    """B parallel adder instances through the consolidated runtime
+    (instance axis multiplies every wave's bootstrap width)."""
     from tfhe_tpu.boot import gate
-    from tfhe_tpu.models import boolean
+    from tfhe_tpu.runtime import scheduler
     rng = TfheRng(31)
     sk = gate.SecretKey.generate(GATE_TOY, rng)
     ck = gate.CloudKey.generate(sk, rng, backend="onthefly")
-    circ = boolean.ripple_carry_adder(3)
+    circ, outs = scheduler.ripple_carry_adder(3)
 
     xs = np.array([3, 5, 7])
     ys = np.array([4, 2, 1])
@@ -58,10 +60,11 @@ def test_boolean_circuit_adder():
         bits[:, i] = (xs >> i) & 1
         bits[:, 3 + i] = (ys >> i) & 1
     cts = np.stack([np.asarray(gate.encrypt_bool(sk, bits[b], rng))
-                    for b in range(B)])
-    out = boolean.evaluate(circ, ck.data, GATE_TOY, jnp.asarray(cts),
-                           backend="onthefly")
-    dec = np.stack([gate.decrypt_bool(sk, out[b]) for b in range(B)])
+                    for b in range(B)])                   # (B, 6, n+1)
+    inp = jnp.moveaxis(jnp.asarray(cts), 0, 1)            # (6, B, n+1)
+    out = scheduler.evaluate(circ, inp, ck.data, GATE_TOY, outs,
+                             backend="onthefly")          # (4, B, n+1)
+    dec = np.stack([gate.decrypt_bool(sk, out[:, b]) for b in range(B)])
     got = sum(dec[:, i].astype(int) << i for i in range(4))
     assert np.array_equal(got, xs + ys)
 

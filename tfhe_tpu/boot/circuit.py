@@ -141,9 +141,11 @@ class CircuitCloudKey:
     def generate(sk: CircuitSecretKey, rng: TfheRng, backend: str = "conv",
                  keep_raw_ks: bool = False) -> "CircuitCloudKey":
         from tfhe_tpu.boot.gate import host_keygen_device
+        from tfhe_tpu.utils import observability as obs
         p = sk.params
         eng = tgsw.make_engine(tgsw.engine_config(p.tgsw_lvl2), backend)
-        with host_keygen_device():
+        obs.count("keygen.circuit")
+        with obs.span("keygen.circuit"), host_keygen_device():
             preks = lwe.KeySwitchKey.generate(sk.lwe_lvl1, sk.key_lvl0,
                                               p.ks10, rng,
                                               keep_raw=keep_raw_ks)
@@ -292,6 +294,8 @@ def make_circuit_bootstrap_staged(p: CircuitParams, backend: str = "conv",
         return priv_keyswitch(ext, pksk, 0)
 
     def fn(samples, key_data):
+        from tfhe_tpu.utils import observability as obs
+        obs.count("bootstrap.circuit_launches")
         abar, bbar = stage_a(samples, key_data["preks"])
         if shared_rotation:
             mu2 = np.int64(1) << (63 - ell1 * bgbit1)

@@ -73,8 +73,10 @@ class CloudKey:
     @staticmethod
     def generate(sk: SecretKey, rng: TfheRng, backend: str = "matmul",
                  keep_raw_ks: bool = False) -> "CloudKey":
+        from tfhe_tpu.utils import observability as obs
         p = sk.params
-        with host_keygen_device():
+        obs.count("keygen.gate")
+        with obs.span("keygen.gate"), host_keygen_device():
             # keygen is hundreds of small eager ops; against a remote
             # accelerator each becomes a dispatch round-trip (281 s over
             # the dev tunnel).  Run it on the host CPU backend (~3 s) and
@@ -125,6 +127,10 @@ def bootstrap(samples, key_data, params: GateParams, mu: int = MU_BOOL,
               backend: str = "matmul", unroll: int = 1):
     """Full gate bootstrap: woKS + key switch (tfhe_bootstrap_FFT,
     lwe_functions.cpp:434-446)."""
+    from tfhe_tpu.utils import observability as obs
+    obs.count("bootstrap.launches")
+    obs.count("bootstrap.ciphertexts",
+              int(np.prod(jnp.shape(samples)[:-1])) or 1)
     u = bootstrap_woks(samples, key_data["bk"], params, mu, backend, unroll)
     ksk = lwe.KeySwitchKey(params.ks, params.tgsw.tlwe.extracted_n,
                            params.lwe.n, key_data["ksw"])

@@ -117,18 +117,23 @@ def evaluate(circ: Circuit, inputs, ck_data, params, outputs,
              backend: str = "matmul"):
     """Run the circuit homomorphically.
 
-    inputs:  (n_inputs, n+1) LWE batch (one ciphertext per input wire).
+    inputs:  (n_inputs, n+1) LWE batch — or (n_inputs, B, n+1) for B
+             parallel instances of the circuit (the serving shape: the
+             instance axis multiplies every wave's bootstrap width).
     outputs: list of wire ids to return.
-    Returns (len(outputs), n+1) LWE array.
+    Returns (len(outputs)[, B], n+1) LWE array.
 
-    Each wave is ONE batched gate call; wave widths amortize the fused
-    blind-rotation launch over all independent gates of that kind.
+    Each wave is ONE batched gate call; wave widths (x instance batch)
+    amortize the fused blind-rotation launch over all independent gates of
+    that kind.
     """
     from tfhe_tpu.boot import gate
     from tfhe_tpu.utils import observability as obs
 
     inputs = jnp.asarray(inputs)
     n = params.lwe.n
+    batched = inputs.ndim == 3
+    lead = inputs.shape[1:-1]
     store = {}                                   # base wire -> ciphertext
     for i in range(circ.n_inputs):
         store[i] = inputs[i]
@@ -136,10 +141,18 @@ def evaluate(circ: Circuit, inputs, ck_data, params, outputs,
     def fetch(ref):
         base, neg, cval = ref
         if base < 0:
-            ct = gate._trivial(gate.MU_BOOL if cval else -gate.MU_BOOL, n)
+            ct = jnp.broadcast_to(
+                gate._trivial(gate.MU_BOOL if cval else -gate.MU_BOOL, n),
+                (*lead, n + 1))
         else:
             ct = store[base]
         return -ct if neg else ct
+
+    def run(fn, *ops):
+        # (W, [B,] n+1) -> flatten the wave x instance axes for the gate
+        flat = [o.reshape(-1, n + 1) for o in ops]
+        res = fn(ck_data, *flat, params, backend)
+        return res.reshape(ops[0].shape)
 
     binop = {"and": gate.gate_and, "or": gate.gate_or, "xor": gate.gate_xor,
              "nand": gate.gate_nand, "nor": gate.gate_nor,
@@ -147,17 +160,20 @@ def evaluate(circ: Circuit, inputs, ck_data, params, outputs,
     for kind, gates in circ.schedule():
         obs.count("circuit.gates", len(gates))
         obs.count("circuit.waves")
-        obs.observe("circuit.wave_width", len(gates))
+        obs.observe("circuit.wave_width",
+                    len(gates) * int(np.prod(lead)) if batched
+                    else len(gates))
         with obs.span(f"circuit.wave.{kind}"):
             if kind == "mux":
                 c = jnp.stack([fetch(g[0]) for g in gates])
                 x = jnp.stack([fetch(g[1]) for g in gates])
                 y = jnp.stack([fetch(g[2]) for g in gates])
-                res = gate.gate_mux(ck_data, c, x, y, params, backend)
+                res = run(gate.gate_mux, c, x, y)
             else:
                 a = jnp.stack([fetch(g[0]) for g in gates])
                 b = jnp.stack([fetch(g[1]) for g in gates])
-                res = binop[kind](ck_data, a, b, params, backend)
+                res = run(lambda ck, aa, bb, pp, be, _f=binop[kind]:
+                          _f(ck, aa, bb, pp, be), a, b)
             for i, g in enumerate(gates):
                 store[g[3]] = res[i]
 
@@ -165,3 +181,26 @@ def evaluate(circ: Circuit, inputs, ck_data, params, outputs,
     for w in outputs:
         outs.append(fetch(circ.resolve(w)))
     return jnp.stack(outs)
+
+
+def ripple_carry_adder(nbits: int):
+    """nbits-bit adder over wires x[0..n) ++ y[0..n): returns
+    (Circuit, [sum wires..., carry]) — the standard full-adder chain
+    (XOR/AND/OR), the workload of tools/circuit_bench.py."""
+    circ = Circuit(2 * nbits)
+    outs = []
+    carry = -1
+    for i in range(nbits):
+        x, y = i, nbits + i
+        if carry < 0:
+            s = circ.gate("xor", x, y)
+            carry = circ.gate("and", x, y)
+        else:
+            axb = circ.gate("xor", x, y)
+            s = circ.gate("xor", axb, carry)
+            t1 = circ.gate("and", x, y)
+            t2 = circ.gate("and", axb, carry)
+            carry = circ.gate("or", t1, t2)
+        outs.append(s)
+    outs.append(carry)
+    return circ, outs

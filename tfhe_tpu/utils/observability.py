@@ -3,8 +3,12 @@
 The reference's only observability is printf progress lines during keygen
 and the PARANO phase dumps (SURVEY §5).  Serving deployments need more:
 this module provides process-local metrics the library records at its
-operation boundaries (key generation, bootstrap launches, circuit waves)
-and that embedders can scrape or reset.
+operation boundaries — key generation (keygen.gate / keygen.circuit
+spans+counters), bootstrap launches (bootstrap.launches / .ciphertexts /
+.circuit_launches counters) and circuit waves (circuit.* in
+runtime/scheduler.py) — and that embedders can scrape or reset.  Spans
+around jitted code measure host-side wall time (dispatch + any blocking),
+not device occupancy; use tools/profile_trace.py for device timelines.
 
   with span("bootstrap"):          # wall-clock timer, nestable
       ...
