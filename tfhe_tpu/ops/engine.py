@@ -572,7 +572,9 @@ class ChunkedEngine(_EngineBase):
         x = rotate_decompose64_ck(a, lo, hi, l=l, bgbit=bgbit, offset=offset,
                                    m=m, planes=P)
         if lgsize is None:
-            lgsize = 2 if UL % 2 == 0 else 1
+            lgsize = 1      # measured: lg=1 818 us vs lg=2 933 us per dot
+                            # at CB_MXU/B=256 (smaller W blocks pipeline
+                            # better against the ring accumulation)
         y = ck_dot64p(x, wm, N=N, m=m, planes=P, tm=min(tm, B),
                       lgsize=lgsize)
         y = y.reshape(kp1, L, B, N)
