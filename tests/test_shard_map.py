@@ -103,3 +103,43 @@ def test_gspmd_mesh_still_matches(toy_keys):
     fn, place = gspmd_mesh.make_sharded_bootstrap_fn(p, m, backend="onthefly")
     kd, cts = place(ck.data, ct)
     np.testing.assert_array_equal(np.asarray(fn(kd, cts)), want)
+
+
+def test_ep_must_divide_kpl():
+    """kpl % ep != 0 is rejected with an actionable error, not an
+    assert (VERDICT r2 weak-7: e.g. CB_MXU kpl=10 on ep=4)."""
+    mesh = shard.make_mesh(8, dp=2, ep=4)      # kpl = 6, ep = 4
+    with pytest.raises(ValueError, match="does not divide"):
+        shard.make_sharded_bootstrap_fn(GATE_TOY, mesh, "onthefly")
+
+
+def test_batch_not_divisible_by_dp_errors_clearly(toy_keys):
+    """B % dp != 0: the placement fails with JAX's sharding error rather
+    than silently truncating; document the contract."""
+    params, sk, ck = toy_keys
+    mesh = shard.make_mesh(8, dp=4, ep=2)
+    fn, place = shard.make_sharded_bootstrap_fn(params, mesh, "onthefly")
+    rng2 = TfheRng(9)
+    cts = gate.encrypt_bool(sk, np.arange(6) % 2, rng2)   # 6 % dp=4 != 0
+    with pytest.raises(Exception, match="not divisible|divides|shard"):
+        key_data, x = place(ck.data, jnp.asarray(cts))
+        jax.block_until_ready(fn(key_data, x))
+
+
+def test_uneven_batch_padding_helper(toy_keys):
+    """pad_batch rounds a ragged batch up to dp and the result slices
+    back exactly."""
+    params, sk, ck = toy_keys
+    mesh = shard.make_mesh(8, dp=4, ep=2)
+    fn, place = shard.make_sharded_bootstrap_fn(params, mesh, "onthefly")
+    rng2 = TfheRng(9)
+    bits = np.arange(6) % 2
+    cts = np.asarray(gate.encrypt_bool(sk, bits, rng2))
+    padded, orig = shard.pad_batch(jnp.asarray(cts), mesh)
+    assert padded.shape[0] == 8 and orig == 6
+    key_data, x = place(ck.data, padded)
+    out = np.asarray(fn(key_data, x))[:orig]
+    dec = np.asarray(gate.decrypt_bool(sk, jnp.asarray(out)))
+    ref = np.asarray(gate.bootstrap(jnp.asarray(cts), ck.data, params,
+                                    backend="onthefly"))
+    np.testing.assert_array_equal(out, ref)

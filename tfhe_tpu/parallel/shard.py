@@ -25,6 +25,16 @@ is duplicated ep times, the MXU contraction divides by ep, and each step
 moves one (B/dp, (k+1)*N) psum over ICI.  At gate parameters that is a
 26 KB/ct reduce per step against ~85 KB/ct of MXU+VPU work — profitable
 once the per-chip batch saturates (see tools/scaling_virtual.py).
+
+ep COST MODEL (why ep is a key-MEMORY axis, not a throughput axis): with
+the rotation fraction r of a fused step duplicated on every ep member and
+only the (1-r) contraction dividing, the speedup ceiling is
+1/(r + (1-r)/ep) — at the measured r ~ 0.4 for the 32-bit fused step
+(440 of ~950 us at GATE_MXU2) ep=2 caps at ~1.4x BEFORE psum cost, and
+tools/multihost_projection.py charges the psum on top (ep=2 ICI
+efficiency ~0.54 at gate shapes).  Use ep when the per-step key working
+set must shrink (it divides bk and ksk residency by ep); use dp for
+throughput.
 """
 
 from __future__ import annotations
@@ -137,7 +147,12 @@ def make_sharded_bootstrap_fn(params, mesh: Mesh, backend: str = "onthefly",
     # skipping them when ep == 1 leaves the carry ep-invariant while the
     # bk-derived update is ep-varying, which shard_map's VMA check rejects.
     ep_axis = "ep"
-    assert p.kpl % ep == 0, (p.kpl, ep)
+    if p.kpl % ep:
+        raise ValueError(
+            f"ep={ep} does not divide the digit-row count kpl={p.kpl} "
+            f"((k+1)*l for this parameter set): pick ep from its divisors "
+            f"or add a dp-only mesh (the bk cannot be row-padded without "
+            f"changing the gadget)")
     eng = make_engine(tgsw.engine_config(p), backend)
     N = p.tlwe.N
 
@@ -168,3 +183,17 @@ def make_sharded_bootstrap_fn(params, mesh: Mesh, backend: str = "onthefly",
         return key_data, samples
 
     return jax.jit(fn), shard
+
+
+def pad_batch(samples, mesh: Mesh):
+    """Round a ragged batch up to a multiple of dp with zero rows (they
+    bootstrap to valid encryptions of False and are sliced off by the
+    caller).  Returns (padded, original_length)."""
+    dp = mesh.shape["dp"]
+    B = samples.shape[0]
+    pad = (-B) % dp
+    if pad:
+        samples = jnp.concatenate(
+            [samples, jnp.zeros((pad,) + samples.shape[1:],
+                                samples.dtype)], axis=0)
+    return samples, B
