@@ -10,11 +10,13 @@ and publishes no gate-bootstrap throughput).
 
 Environment overrides:
   BENCH_BATCH   ciphertext batch per measurement (default 8192 on TPU: the
-                throughput knee — 10.1k ct/s vs 9.7k at 4096; 16384 exceeds
-                the fused kernel's 16 MB VMEM budget at tm=256)
+                throughput knee — 10.1k ct/s vs 9.7k at 4096; tile sizes
+                adapt to the batch via the ops/tiles.py VMEM chooser)
   BENCH_STEPS   override blind-rotation step count (default: full n)
   BENCH_REPS    timing repetitions (default 3)
-  BENCH_BACKEND negacyclic engine backend (default "onthefly")
+  BENCH_BACKEND negacyclic engine backend (default: "onthefly" for
+                N<=512 rings, "chunked" for N>=1024 — each ring size's
+                measured-fastest fused kernel)
   BENCH_PARAMS  "default"/"mxu" (GATE_MXU: n=630,l=3,bg=7, 128-bit, BK
                 mod-switched to 2^24 / 3 int8 limbs), "exact" (GATE_DEFAULT,
                 full 32-bit BK), or "fast" (GATE_FAST: n=500, 2017-era set)
@@ -59,7 +61,8 @@ def main():
         )
         batch = int(os.environ.get("BENCH_BATCH", 64))
 
-    backend = os.environ.get("BENCH_BACKEND", "onthefly")
+    default_backend = "chunked" if params.tgsw.tlwe.N >= 1024 else "onthefly"
+    backend = os.environ.get("BENCH_BACKEND", default_backend)
     reps = int(os.environ.get("BENCH_REPS", 3))
     steps = os.environ.get("BENCH_STEPS")
 

@@ -184,22 +184,25 @@ class _EngineBase:
 
     def _cmux_step_fused(self, a, acc, w, *, l, bgbit, offset, tm):
         import jax as _jax
+        from tfhe_tpu.ops import tiles
         cfg = self.cfg
         B = acc.shape[0]
-        # N <= 512: the kernel streams 2 (double-buffered) x num_limbs key
-        # blocks of N x (k+1)N int8 through VMEM; at N=1024/k=1 that is
-        # 12.6 of the 16 MB budget and the measured step is 1.9x SLOWER
-        # than the separate rotate_decompose + mm_recombine kernels
-        # (1,864 vs 3,842 ct/s full-bootstrap, v5e) — starved pipelining,
-        # not compute.  The rank-2/N=512 production sets stay fused.
         if not (_jax.default_backend() == "tpu" and cfg.out_bits == 32
                 and cfg.kbits == 32 and cfg.plane_split[1] == 1
-                and bgbit <= 8 and cfg.num_limbs <= 3 and acc.ndim == 3
-                and B % tm == 0 and acc.shape[-1] <= 512):
+                and bgbit <= 8 and cfg.num_limbs <= 3 and acc.ndim == 3):
+            return None
+        # VMEM-budget tile chooser (ops/tiles.py): at N=1024/k=1 no tile
+        # fits — the dense W blocks alone are 12.6 MB and the measured step
+        # is 1.9x SLOWER than the split kernels (starved pipelining), so
+        # dispatch falls through (the chunked engine serves those shapes).
+        kp1, N = acc.shape[1], acc.shape[2]
+        tm_fit = tiles.choose_v2_tm(N, kp1, l, cfg.num_limbs, B)
+        if tm_fit is None:
             return None
         from tfhe_tpu.ops.pallas_kernels import fused_cmux_step_v2
         return fused_cmux_step_v2(a, acc, w, l=l, bgbit=bgbit, offset=offset,
-                                  key_shift=cfg.key_shift, tm=tm)
+                                  key_shift=cfg.key_shift,
+                                  tm=min(tm, tm_fit))
 
 
 class NaiveEngine(_EngineBase):
@@ -515,37 +518,46 @@ class ChunkedEngine(_EngineBase):
             out = v if out is None else out + v
         return out.reshape(*lead, U, N)
 
-    def _ck32_ok(self, B, bgbit, tm):
+    def _ck32_tm(self, B, kp1, l, bgbit):
+        """VMEM-chosen tile for ck_cmux_step32, or None when ineligible."""
         import jax as _jax
+        from tfhe_tpu.ops import tiles
         cfg = self.cfg
-        return (_jax.default_backend() == "tpu" and cfg.out_bits == 32
+        if not (_jax.default_backend() == "tpu" and cfg.out_bits == 32
                 and cfg.kbits == 32 and cfg.plane_split[1] == 1
-                and bgbit <= 8 and B % min(tm, B) == 0)
+                and bgbit <= 8):
+            return None
+        return tiles.choose_ck32_tm(cfg.N, kp1, l, cfg.num_limbs, self.m, B)
 
-    def cmux_step(self, a, acc, prepared, *, l, bgbit, offset, tm=128):
+    def cmux_step(self, a, acc, prepared, *, l, bgbit, offset, tm=None):
         """32-bit fused chunked CMux (ck_cmux_step32) — the N=1024 gate
         path where the dense-Toeplitz fused_cmux_step_v2 starves VMEM
         (measured 1124 us/step at GATE_MXU/B=4096/tm=128 vs 1864 for the
         separate kernels).  Returns None when ineligible."""
-        if not (acc.ndim == 3 and self._ck32_ok(acc.shape[0], bgbit, tm)):
+        if acc.ndim != 3:
+            return None
+        tm_fit = self._ck32_tm(acc.shape[0], acc.shape[1], l, bgbit)
+        if tm_fit is None:
             return None
         from tfhe_tpu.ops.pallas_kernels import ck_cmux_step32
         return ck_cmux_step32(a, acc, prepared["wm"], l=l, bgbit=bgbit,
                               offset=offset, key_shift=self.cfg.key_shift,
-                              m=self.m, tm=min(tm, acc.shape[0]))
+                              m=self.m, tm=min(tm or tm_fit, tm_fit))
 
     def cmux_step_flat(self, a, acc_flat, prepared, *, kp1, l, bgbit,
-                       offset, tm=128):
+                       offset, tm=None):
         """cmux_step on the flat (B, (k+1)*N) scan-carry layout — avoids
         ~100 us/step of XLA sublane-padding relayouts (see ck_cmux_step32).
         Returns None when ineligible."""
-        if not (acc_flat.ndim == 2
-                and self._ck32_ok(acc_flat.shape[0], bgbit, tm)):
+        if acc_flat.ndim != 2:
+            return None
+        tm_fit = self._ck32_tm(acc_flat.shape[0], kp1, l, bgbit)
+        if tm_fit is None:
             return None
         from tfhe_tpu.ops.pallas_kernels import ck_cmux_step32
         return ck_cmux_step32(a, acc_flat, prepared["wm"], l=l, bgbit=bgbit,
                               offset=offset, key_shift=self.cfg.key_shift,
-                              m=self.m, tm=min(tm, acc_flat.shape[0]),
+                              m=self.m, tm=min(tm or tm_fit, tm_fit),
                               kp1=kp1)
 
     def cmux_pair_step(self, a, acc_pair, prepared, *, l: int, bgbit: int,
@@ -575,6 +587,10 @@ class ChunkedEngine(_EngineBase):
             lgsize = 1      # measured: lg=1 818 us vs lg=2 933 us per dot
                             # at CB_MXU/B=256 (smaller W blocks pipeline
                             # better against the ring accumulation)
+        from tfhe_tpu.ops import tiles
+        tm_fit = tiles.choose_ck64_tm(N, kp1, l, P, m, lgsize, B)
+        if tm_fit is not None:
+            tm = min(tm, tm_fit)
         y = ck_dot64p(x, wm, N=N, m=m, planes=P, tm=min(tm, B),
                       lgsize=lgsize)
         y = y.reshape(kp1, L, B, N)
