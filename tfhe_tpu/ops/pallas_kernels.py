@@ -912,28 +912,28 @@ def _ck_cmux32_kernel(N, m, C, kp1, l, L, bgbit, offset, key_shift, nb,
                                     run_unit(q, digs[wb], next_tile=True)
 
         # ---- MXU: all chunks for output poly u, recombined in int32 -----
-        # (w_ref holds the WHOLE (U*L, Jm, Npm) key resident in VMEM —
-        # per-cell blocks indexed by u would re-stream ~2.5 MB every cell,
-        # ~190 us/step at N=1024/B=4096)
+        # (W arrives as a per-u (L, Jm, Npm) block; an all-resident
+        # (U*L, ...) variant with pl.when-selected u slices was tried and
+        # measured 2.6x SLOWER at N=1024/B=4096 — the duplicated dot code
+        # under the u-predicates defeats Mosaic's pipelining)
         sacc_ref = digs_flat[2]                    # (tm, 2N) ring scratch
         for rb in range(2):
             @pl.when((i & 1) == rb)
             def _(rb=rb):
                 sacc_ref[:, :] = jnp.zeros(sacc_ref.shape, jnp.int32)
+                for c in range(C):
+                    y = None
+                    for li in range(L):
+                        d = jnp.dot(digs[rb][:, pl.ds(c * ckp, Jm)],
+                                    w_ref[li],
+                                    preferred_element_type=jnp.int32)
+                        sh = 8 * li + key_shift
+                        d = d << sh if sh else d
+                        y = d if y is None else y + d
+                    sacc_ref[:, pl.ds(c * m, Npm)] += y
                 for uu in range(kp1):
                     @pl.when(u == uu)
                     def _(uu=uu):
-                        for c in range(C):
-                            y = None
-                            for li in range(L):
-                                d = jnp.dot(
-                                    digs[rb][:, pl.ds(c * ckp, Jm)],
-                                    w_ref[uu * L + li],
-                                    preferred_element_type=jnp.int32)
-                                sh = 8 * li + key_shift
-                                d = d << sh if sh else d
-                                y = d if y is None else y + d
-                            sacc_ref[:, pl.ds(c * m, Npm)] += y
                         out_ref[:, :] = (acc_ref[:, pl.ds(uu * N, N)]
                                          + sacc_ref[:, pl.ds(0, N)]
                                          - sacc_ref[:, pl.ds(N, N)])
@@ -978,7 +978,7 @@ def ck_cmux_step32(a, acc, wm, *, l: int, bgbit: int, offset: int,
             pl.BlockSpec((tm, 1), lambda i, u: (jnp.minimum(i + 1, nb - 1), i - i)),
             pl.BlockSpec((tm, kp1 * N), lambda i, u: (i, i - i)),
             pl.BlockSpec((tm, kp1 * N), lambda i, u: (jnp.minimum(i + 1, nb - 1), i - i)),
-            pl.BlockSpec((UL, Jm, Npm), lambda i, u: (i - i, i - i, i - i)),
+            pl.BlockSpec((L, Jm, Npm), lambda i, u: (u, i - i, i - i)),
         ],
         out_specs=pl.BlockSpec((tm, N), lambda i, u: (i, u)),
         out_shape=jax.ShapeDtypeStruct((B, kp1 * N), jnp.int32),

@@ -52,7 +52,7 @@ def ck32_bytes(N: int, kp1: int, l: int, L: int, m: int, tm: int) -> int:
     Jm = kp1 * l * m
     ckp = -(-Jm // 128) * 128
     C = N // m
-    w = kp1 * L * Jm * (N + m)               # whole W resident (constant)
+    w = 2 * L * Jm * (N + m)                 # per-u W block, dbl-buf
     acc = 2 * tm * kp1 * N * 4 + tm * N * 4  # acc/accn + out blocks
     scratch = (2 * tm * N * 4 + 2 * tm * C * ckp + tm * 2 * N * 4)
     return w + acc + scratch
