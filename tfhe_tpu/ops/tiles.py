@@ -71,7 +71,13 @@ def ck64_bytes(N: int, kp1: int, l: int, P: int, m: int, lgsize: int,
 
 
 def choose_v2_tm(N: int, kp1: int, l: int, L: int, B: int) -> int | None:
-    return _fit(lambda tm: v2_bytes(N, kp1, l, L, tm), B)
+    # empirical: Mosaic's scoped-vmem accounting for this kernel grows with
+    # the grid (measured at GATE_FAST2/tm=256: B=8192 compiles under 16M,
+    # B=16384 busts at 16.88M — ~107 bytes/batch-row), so charge that
+    # against a matching 15.5 MiB budget; at 16384 the chooser then drops
+    # to tm=128.
+    return _fit(lambda tm: v2_bytes(N, kp1, l, L, tm) + 107 * B, B,
+                budget=int(15.2 * 2**20))
 
 
 def choose_ck32_tm(N: int, kp1: int, l: int, L: int, m: int,
