@@ -20,7 +20,10 @@ import ctypes
 import os
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+
+_WAVE_JIT: dict = {}     # (kind, shape, params, backend) -> jitted wave fn
 
 _KINDS = {"and": 1, "or": 2, "xor": 3, "nand": 4, "nor": 5, "xnor": 6,
           "not": 7, "const0": 8, "const1": 9, "mux": 10}
@@ -148,10 +151,18 @@ def evaluate(circ: Circuit, inputs, ck_data, params, outputs,
             ct = store[base]
         return -ct if neg else ct
 
-    def run(fn, *ops):
-        # (W, [B,] n+1) -> flatten the wave x instance axes for the gate
+    def run(kind, fn, *ops):
+        # (W, [B,] n+1) -> flatten the wave x instance axes for the gate;
+        # the whole wave runs as ONE jitted call (cached per kind x shape:
+        # eager per-op dispatch through a remote accelerator link measured
+        # ~10 s/wave of round trips vs ~0.5 s of device compute on the
+        # 2048x16-bit-adder workload, bench_results/README.md)
         flat = [o.reshape(-1, n + 1) for o in ops]
-        res = fn(ck_data, *flat, params, backend)
+        key = (kind, flat[0].shape, params, backend)
+        if key not in _WAVE_JIT:
+            _WAVE_JIT[key] = jax.jit(
+                lambda ck, *xs: fn(ck, *xs, params, backend))
+        res = _WAVE_JIT[key](ck_data, *flat)
         return res.reshape(ops[0].shape)
 
     binop = {"and": gate.gate_and, "or": gate.gate_or, "xor": gate.gate_xor,
@@ -168,12 +179,11 @@ def evaluate(circ: Circuit, inputs, ck_data, params, outputs,
                 c = jnp.stack([fetch(g[0]) for g in gates])
                 x = jnp.stack([fetch(g[1]) for g in gates])
                 y = jnp.stack([fetch(g[2]) for g in gates])
-                res = run(gate.gate_mux, c, x, y)
+                res = run(kind, gate.gate_mux, c, x, y)
             else:
                 a = jnp.stack([fetch(g[0]) for g in gates])
                 b = jnp.stack([fetch(g[1]) for g in gates])
-                res = run(lambda ck, aa, bb, pp, be, _f=binop[kind]:
-                          _f(ck, aa, bb, pp, be), a, b)
+                res = run(kind, binop[kind], a, b)
             for i, g in enumerate(gates):
                 store[g[3]] = res[i]
 
