@@ -150,3 +150,23 @@ def test_cb_mxu_gadget_geometry():
     _, max_dev = probe.probe_tgsw_rows(np.asarray(gsw), sk.ring_lvl1,
                                        p.tgsw_lvl1, message=bits)
     assert float(max_dev) < 2.0**-8
+
+
+def test_circuit_bootstrap_chunked_matches_conv(keys):
+    """The production chunked backend (generic exact path on CPU; the
+    Pallas pair path on TPU) produces bit-identical TRGSW output to the
+    conv backend — both are exact integer pipelines."""
+    sk, ck_conv = keys
+    p = CB_TOY
+    rng_k = TfheRng(42)
+    sk2 = circuit.CircuitSecretKey.generate(p, rng_k)
+    ck_ck = circuit.CircuitCloudKey.generate(sk2, rng_k, backend="chunked")
+    np.testing.assert_array_equal(sk2.key_lvl0.key, sk.key_lvl0.key)
+    rng = TfheRng(5)
+    bits = np.array([0, 1, 1, 0])
+    ct = _encrypt_bits(sk, bits, rng)
+    want = np.asarray(circuit.circuit_bootstrap(ct, ck_conv.data, p,
+                                                backend="conv"))
+    got = np.asarray(circuit.circuit_bootstrap(ct, ck_ck.data, p,
+                                               backend="chunked"))
+    np.testing.assert_array_equal(got, want)
