@@ -828,6 +828,16 @@ def ck_dot64p(x, wm, *, N: int, m: int, planes: int = 1, tm: int = 128,
 # batch tile software-pipelined under the current tile's MXU dots) fits
 # comfortably at N=1024.  Limb recombination is exact mod 2^32 (shifts
 # wrap), so it fuses into the chunk loop at no carry cost.
+#
+# Measured schedule facts (v5e, GATE_MXU/B=4096/tm=128), for future tuning:
+#   * MXU + ring accumulation alone (_skip_vpu=True): 906 us/step = 98% of
+#     the 885 us chunked-formulation floor;
+#   * the rotation/extraction pipeline adds 212 us SERIAL (1118 total) —
+#     Mosaic does not overlap the up-front predicated VPU block with the
+#     dot loop at this shape;
+#   * two attempted fixes made it WORSE and are reverted in history:
+#     pl.when-predicated work inside the chunk loop (2391 us — predication
+#     breaks the MXU pipeline) and u-selected resident W (2.6x slower).
 # ---------------------------------------------------------------------------
 
 
