@@ -105,7 +105,8 @@ with host_keygen_device():             # eager probe math on the host CPU
 result = {
     "metric": "circuit_bootstrap_ms",
     "value": round(best / B * 1e3, 2),
-    "unit": "ms/ct",
+    "unit": "ms/ct",           # batch-amortized; the actual batch latency
+    "batch_latency_s": round(best, 3),
     "vs_baseline": round(137.0 / (best / B * 1e3), 2),
     "throughput_ct_s": round(B / best, 1),
     "batch": B,
