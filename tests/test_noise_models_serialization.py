@@ -105,3 +105,23 @@ def test_serialization_roundtrip(tmp_path):
     ct = gate.encrypt_bool(sk, np.array([1, 0]), rng)
     out = gate.bootstrap(ct, tree, params, backend="onthefly")
     assert np.array_equal(gate.decrypt_bool(sk, out), [True, False])
+
+
+def test_serialization_roundtrip_chunked(tmp_path):
+    """Checkpoint/resume for the chunked (pre-shifted) key format: save,
+    reload, and bootstrap with the reloaded key bit-identically."""
+    from tfhe_tpu.boot import gate
+    from tfhe_tpu.utils import serialization as ser
+    rng = TfheRng(12)
+    sk = gate.SecretKey.generate(GATE_TOY, rng)
+    ck = gate.CloudKey.generate(sk, rng, backend="chunked")
+    path = str(tmp_path / "ck_chunked.npz")
+    ser.save_keydata(path, ck.data, GATE_TOY, meta={"backend": "chunked"})
+    tree, params, meta = ser.load_keydata(path)
+    assert meta["backend"] == "chunked"
+    bits = np.array([1, 0, 1])
+    ct = gate.encrypt_bool(sk, bits, TfheRng(13))
+    want = np.asarray(gate.bootstrap(ct, ck.data, GATE_TOY,
+                                     backend="chunked"))
+    got = np.asarray(gate.bootstrap(ct, tree, GATE_TOY, backend="chunked"))
+    np.testing.assert_array_equal(got, want)
