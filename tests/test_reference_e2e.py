@@ -202,14 +202,16 @@ def test_blind_rotation_fft_envelope(boots):
     apart chaotically — measured ~2^62) while the PHASE, the quantity the
     scheme preserves, stays within the accumulated spqlios rounding
     envelope: measured ~2^44 on the torus64 scale (2^-20 of the torus,
-    vs message amplitude mu2 = 2^55).  Assert the phase envelope."""
+    vs message amplitude mu2 = 2^55).  Assert the phase envelope at 2^45 —
+    2x the measured value, so a real noise regression (e.g. 8x the spqlios
+    envelope) fails instead of hiding under a loose bound."""
     key = np.ones(N2, np.int64)
     for w in range(ELL1):
         ref = i64(FFT, f"boot_w{w}.i64")
         ph_ours = np.int64(boots[w][-1] - (boots[w][:-1] * key).sum())
         ph_ref = np.int64(ref[-1] - (ref[:-1] * key).sum())
         diff = abs(int(np.int64(ph_ours - ph_ref)))
-        assert diff < 1 << 48, hex(diff)
+        assert diff < 1 << 45, hex(diff)
 
 
 def test_circuit_bootstrap_out_bit_exact(boots, frng):

@@ -68,10 +68,18 @@ def blind_rotate(acc, bk_prepared, abar, p: TGswParams, backend: str = "matmul",
                                      bgbit=p.bgbit, offset=p.offset)
             return out, None
 
-        carry, _ = lax.scan(step64, (lo, hi),
-                            (bk_prepared, jnp.moveaxis(abar, -1, 0)),
-                            unroll=unroll)
-        return jnp.moveaxis(i64pair.to_i64(*carry), 0, -2)
+        # eligibility is static (shape/tile-driven): probe once outside the
+        # scan; an ineligible shape (e.g. odd batch) falls through to the
+        # generic engine path below instead of crashing mid-scan
+        probe = eng.cmux_pair_step(
+            abar[:, 0], (lo, hi),
+            jax.tree_util.tree_map(lambda v: v[0], bk_prepared),
+            l=p.l, bgbit=p.bgbit, offset=p.offset)
+        if probe is not None:
+            carry, _ = lax.scan(step64, (lo, hi),
+                                (bk_prepared, jnp.moveaxis(abar, -1, 0)),
+                                unroll=unroll)
+            return jnp.moveaxis(i64pair.to_i64(*carry), 0, -2)
 
     # 32-bit chunked engines: carry the accumulator FLAT through the scan
     # (the (B, k+1, N) int32 view tiles with padded sublanes on TPU, so

@@ -127,10 +127,15 @@ def bootstrap(samples, key_data, params: GateParams, mu: int = MU_BOOL,
               backend: str = "matmul", unroll: int = 1):
     """Full gate bootstrap: woKS + key switch (tfhe_bootstrap_FFT,
     lwe_functions.cpp:434-446)."""
-    from tfhe_tpu.utils import observability as obs
-    obs.count("bootstrap.launches")
-    obs.count("bootstrap.ciphertexts",
-              int(np.prod(jnp.shape(samples)[:-1])) or 1)
+    # Count only at un-jitted call boundaries: inside a trace this body runs
+    # once at compile time, so counting here would undercount every cached
+    # execution (the wave-jit path counts in runtime/scheduler.py instead;
+    # make_bootstrap_fn counts in its outer wrapper).
+    if not isinstance(samples, jax.core.Tracer):
+        from tfhe_tpu.utils import observability as obs
+        obs.count("bootstrap.launches")
+        obs.count("bootstrap.ciphertexts",
+                  int(np.prod(jnp.shape(samples)[:-1])) or 1)
     u = bootstrap_woks(samples, key_data["bk"], params, mu, backend, unroll)
     ksk = lwe.KeySwitchKey(params.ks, params.tgsw.tlwe.extracted_n,
                            params.lwe.n, key_data["ksw"])
@@ -140,9 +145,17 @@ def bootstrap(samples, key_data, params: GateParams, mu: int = MU_BOOL,
 def make_bootstrap_fn(params: GateParams, mu: int = MU_BOOL,
                       backend: str = "matmul", unroll: int = 1):
     """Jitted (key_data, samples) -> bootstrapped samples."""
+    jfn = jax.jit(lambda key_data, samples: bootstrap(
+        samples, key_data, params, mu, backend, unroll))
+
     def fn(key_data, samples):
-        return bootstrap(samples, key_data, params, mu, backend, unroll)
-    return jax.jit(fn)
+        # counters live OUTSIDE the jit so every cached execution counts
+        from tfhe_tpu.utils import observability as obs
+        obs.count("bootstrap.launches")
+        obs.count("bootstrap.ciphertexts",
+                  int(np.prod(jnp.shape(samples)[:-1])) or 1)
+        return jfn(key_data, samples)
+    return fn
 
 
 # ---------------------------------------------------------------------------

@@ -460,10 +460,15 @@ class ChunkedEngine(_EngineBase):
         J, U, N = key_polys.shape
         assert N == cfg.N
         m = self.m
-        # exactness: the int32 fold accumulation over all chunks is bounded
-        # by J*N * 2^digit_bits * 2^(limb_bits-1) (conservative over the
-        # balanced plane split) and must stay below 2^31.
-        assert J * N * (1 << cfg.digit_bits) * (1 << (cfg.limb_bits - 1)) \
+        # exactness: each ring position accumulates up to J*(N+m) products
+        # (ceil((N+m)/m) overlapping chunks x J*m dot terms each), every
+        # product bounded by max_digit * 2^(limb_bits-1); the int32 fold
+        # must stay below 2^31.  max_digit is 2^(digit_bits-1) for a single
+        # plane and 64 per balanced base-2^7 plane (planes accumulate in
+        # separate int32 passes and recombine with shifts afterwards).
+        max_digit = (1 << (cfg.digit_bits - 1)) if cfg.plane_split[1] == 1 \
+            else 64
+        assert J * (N + m) * max_digit * (1 << (cfg.limb_bits - 1)) \
             < 2**31, "int32 accumulation bound exceeded for this shape"
         limbs = T.balanced_limbs(_key_rounded(cfg, key_polys),
                                  cfg.num_limbs, cfg.limb_bits)  # (L,J,U,N)
@@ -591,8 +596,15 @@ class ChunkedEngine(_EngineBase):
             lgsize = 2 if (P == 2 and UL % 2 == 0) else 1
         from tfhe_tpu.ops import tiles
         tm_fit = tiles.choose_ck64_tm(N, kp1, l, P, m, lgsize, B)
-        if tm_fit is not None:
-            tm = min(tm, tm_fit)
+        if tm_fit is None:
+            # no budgeted tile divides B (e.g. B=160): fall back to the
+            # largest power-of-2 divisor of B <= 128 instead of tripping
+            # ck_dot64p's B % tm assert; give up (generic engine path) only
+            # when B is odd.
+            tm_fit = B & -B if B & -B <= 128 else 128
+            if tm_fit < 8:
+                return None
+        tm = min(tm, tm_fit)
         y = ck_dot64p(x, wm, N=N, m=m, planes=P, tm=min(tm, B),
                       lgsize=lgsize)
         y = y.reshape(kp1, L, B, N)

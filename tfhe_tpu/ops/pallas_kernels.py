@@ -400,13 +400,13 @@ def _fused_cmux_v2_kernel(N, kp1, l, L, bgbit, offset, key_shift, nb,
     # unit q runs in cell `unit_cell[q]`; spread as evenly as possible
     unit_cell = [min(q * J // n_units, J - 1) for q in range(n_units)]
 
-    def kernel(acur_ref, anext_ref, acc_ref, accn_ref, w0_ref, w1_ref, w2_ref,
-               out_ref, rot_ref, orig_ref, arot_ref, dig0_ref, dig1_ref,
-               s_ref):
+    def kernel(acur_ref, anext_ref, acc_ref, accn_ref, *rest):
+        w_refs = rest[:L]                  # exactly L operands (no padding)
+        out_ref = rest[L]
+        rot_ref, orig_ref, arot_ref, dig0_ref, dig1_ref, s_ref = rest[L + 1:]
         i = pl.program_id(0)
         c = pl.program_id(1)
         digs = (dig0_ref, dig1_ref)
-        w_refs = (w0_ref, w1_ref, w2_ref)[:L]
 
         # ---- VPU pipeline units (build tile `src`'s digits into `wbuf`) --
         def unit_seed(u, next_tile):
@@ -510,7 +510,6 @@ def fused_cmux_step_v2(a, acc, w, *, l: int, bgbit: int, offset: int,
     nb = B // tm
     a2 = a.astype(jnp.int32)[:, None]
     ws = [w[lm] for lm in range(L)]
-    ws += [ws[-1]] * (3 - L)           # pad unused operands (never dotted)
     out = pl.pallas_call(
         _fused_cmux_v2_kernel(N, kp1, l, L, bgbit, offset, key_shift, nb,
                               skip_vpu=_skip_vpu),
@@ -520,9 +519,9 @@ def fused_cmux_step_v2(a, acc, w, *, l: int, bgbit: int, offset: int,
             pl.BlockSpec((tm, 1), lambda i, c: (jnp.minimum(i + 1, nb - 1), i - i)),
             pl.BlockSpec((tm, kp1 * N), lambda i, c: (i, i - i)),
             pl.BlockSpec((tm, kp1 * N), lambda i, c: (jnp.minimum(i + 1, nb - 1), i - i)),
-            pl.BlockSpec((N, UN), lambda i, c: (c, i - i)),
-            pl.BlockSpec((N, UN), lambda i, c: (c, i - i)),
-            pl.BlockSpec((N, UN), lambda i, c: (c, i - i)),
+        ] + [
+            pl.BlockSpec((N, UN), lambda i, c: (c, i - i))
+            for _ in range(L)
         ],
         out_specs=pl.BlockSpec((tm, kp1 * N), lambda i, c: (i, i - i)),
         out_shape=jax.ShapeDtypeStruct((B, kp1 * N), jnp.int32),
@@ -776,7 +775,7 @@ def _ck64p_kernel(N, m, P, C, Jm, ckp, lgsize):
                     xs = x_ref[:, pl.ds((c * P + p) * ckp, Jm)]
                     yp = jnp.dot(xs, w_ref[li],
                                  preferred_element_type=jnp.int32)
-                    yp = (yp << 7) if p else yp        # plane weight 2^(7p)
+                    yp = (yp << (7 * p)) if p else yp  # plane weight 2^(7p)
                     y = yp if y is None else y + yp
                 sacc_ref[:, pl.ds(c * m, Npm)] += y
             out_ref[li, :, :] = (sacc_ref[:, pl.ds(0, N)]

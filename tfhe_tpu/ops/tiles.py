@@ -39,7 +39,7 @@ def _fit(bytes_fn, B: int, budget: int = VMEM_BUDGET,
 def v2_bytes(N: int, kp1: int, l: int, L: int, tm: int) -> int:
     """fused_cmux_step_v2 (dense per-step Toeplitz) VMEM model."""
     J = kp1 * l
-    w = 2 * 3 * N * kp1 * N                  # 3 padded W operands, dbl-buf
+    w = 2 * L * N * kp1 * N                  # L W operands, dbl-buf
     acc = 3 * tm * kp1 * N * 4               # acur/accn/out blocks
     scratch = (2 * tm * N * 4                # rot, orig
                + 2 * tm * J * N              # dig ping/pong

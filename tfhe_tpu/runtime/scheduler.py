@@ -162,6 +162,12 @@ def evaluate(circ: Circuit, inputs, ck_data, params, outputs,
         if key not in _WAVE_JIT:
             _WAVE_JIT[key] = jax.jit(
                 lambda ck, *xs: fn(ck, *xs, params, backend))
+            obs.count("circuit.wave_compiles")
+        # bootstrap.* counters fire here (the un-jitted boundary), since
+        # gate.bootstrap's own counts only run at trace time under jit
+        nboots = 3 if kind == "mux" else 1
+        obs.count("bootstrap.launches", nboots)
+        obs.count("bootstrap.ciphertexts", nboots * flat[0].shape[0])
         res = _WAVE_JIT[key](ck_data, *flat)
         return res.reshape(ops[0].shape)
 
