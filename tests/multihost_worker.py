@@ -77,6 +77,29 @@ def main():
                                     backend="onthefly"))
     np.testing.assert_array_equal(out_local,
                                   ref[rank * half:(rank + 1) * half])
+
+    # ---- circuit bootstrapping across both processes: lvl2 digit rows +
+    # privKS/preKS rows over ep (cross-process psum), batch over dp ----
+    from tfhe_tpu.params import CB_TOY
+    from tfhe_tpu.boot import circuit
+    from tfhe_tpu import lwe
+    cp = CB_TOY
+    crng = TfheRng(2)                     # identical keys on both hosts
+    csk = circuit.CircuitSecretKey.generate(cp, crng)
+    cck = circuit.CircuitCloudKey.generate(csk, crng, backend="chunked")
+    cbits = np.random.default_rng(11).integers(0, 2, B)
+    msgs = np.where(cbits.astype(bool), np.int32(-(1 << 31)), 0)
+    cct = np.asarray(lwe.encrypt(csk.lwe_lvl1, msgs.astype(np.int32),
+                                 TfheRng(3), 2.0**-20))
+    cfn, _ = shard.make_sharded_circuit_bootstrap_fn(cp, mesh,
+                                                     backend="chunked")
+    ckey_g = multihost.place_circuit_keys(cck.data, mesh, "chunked")
+    cx_g = multihost.place_batch(cct[rank * half:(rank + 1) * half], mesh)
+    gsw_local = np.asarray(multihost.gather_batch(cfn(ckey_g, cx_g), mesh))
+    cref = np.asarray(circuit.circuit_bootstrap(jnp.asarray(cct), cck.data,
+                                                cp, backend="chunked"))
+    np.testing.assert_array_equal(gsw_local,
+                                  cref[rank * half:(rank + 1) * half])
     print(f"[rank {rank}] MULTIHOST OK", flush=True)
 
 

@@ -90,7 +90,24 @@ def place_keys(key_data, mesh: Mesh, backend: str = "onthefly"):
     }
 
 
+def place_circuit_keys(key_data, mesh: Mesh, backend: str = "chunked"):
+    """CircuitCloudKey.data -> global placement (key policy per
+    shard.circuit_key_shardings): every host regenerates or loads the raw
+    keys and builds its wm locally, so the ~8 GB pre-shifted lvl2 bk and
+    the 2.7 GB privKS table never cross DCN; leaves shard over ep."""
+    from tfhe_tpu.parallel.shard import _cb_bk_ep_spec
+    bk_spec = _cb_bk_ep_spec(backend)
+    g = multihost_utils.host_local_array_to_global_array
+    return {
+        "bk": jax.tree.map(lambda v: g(v, mesh, bk_spec), key_data["bk"]),
+        "preks": g(key_data["preks"], mesh, P(None, "ep", None)),
+        "privks": g(key_data["privks"], mesh, P(None, None, "ep", None)),
+    }
+
+
 def gather_batch(out_global, mesh: Mesh):
-    """Global dp-sharded result -> this host's local rows (numpy)."""
+    """Global dp-sharded result -> this host's local rows (numpy).
+    Works for any rank (LWE batches are rank 2, TRGSW batches rank 5)."""
+    spec = P("dp", *([None] * (out_global.ndim - 1)))
     return multihost_utils.global_array_to_host_local_array(
-        out_global, mesh, P("dp", None))
+        out_global, mesh, spec)

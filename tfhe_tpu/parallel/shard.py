@@ -185,6 +185,179 @@ def make_sharded_bootstrap_fn(params, mesh: Mesh, backend: str = "onthefly",
     return jax.jit(fn), shard
 
 
+def _cb_bk_ep_spec(backend: str) -> P:
+    """PartitionSpec of a stacked prepared lvl2-bk leaf, digit-row axis
+    sharded over ep.
+
+    chunked leaves are (n, U*L, J*m, N+m) with rows (j, s)-major, so a
+    contiguous J*m split divides J; conv leaves are (n, J*U*L, 1, 2N-1)
+    with j-major rows, so a contiguous split divides J the same way."""
+    if backend == "chunked":
+        return P(None, None, "ep", None)
+    if backend == "conv":
+        return P(None, "ep", None, None)
+    raise ValueError(
+        f"circuit-bootstrap ep sharding not defined for backend {backend!r}")
+
+
+def circuit_key_shardings(mesh: Mesh, key_data, backend: str = "chunked"):
+    """Device placement for a CircuitCloudKey.data pytree under dp x ep.
+
+    The key-placement policy for circuit bootstrapping (SURVEY §7 "key
+    material size & movement" — the axis where multi-chip matters most,
+    since the privKS table is ~2.7 GB and the chunked lvl2 bk ~8 GB at
+    CB_MXU/m=64, pallas_kernels.py:562-565):
+
+      * lvl2 bk (the dominant term): digit-row axis J = (k+1)*l2 sharded
+        over ep — each device holds 1/ep of the pre-shifted wm.  For
+        multi-host, build wm per-host from the raw ~160 MB TRGSW bk
+        (CircuitCloudKey.generate already builds wm on-device from raw
+        rows) so only the raw bk, never the m-fold blowup, exists off
+        the accelerators.
+      * privKS: one-hot contraction rows ((n2+1)*t*base) sharded over ep;
+        each device multiplies its row slice, one psum per key switch.
+      * preKS: contraction rows sharded over ep likewise.
+      * The (B/dp, k+1, N2) Torus64 accumulator is replicated over ep
+        (it is the small operand: 64 KB/ct vs MB-scale per-step key
+        traffic) — one psum per blind-rotation step reduces the partial
+        external products.
+    """
+    bk = NamedSharding(mesh, _cb_bk_ep_spec(backend))
+    return {
+        "bk": jax.tree.map(lambda _: bk, key_data["bk"]),
+        "preks": NamedSharding(mesh, P(None, "ep", None)),
+        "privks": NamedSharding(mesh, P(None, None, "ep", None)),
+    }
+
+
+def _local_priv_keyswitch(x64, w_local, ks, z: int, k: int, N: int,
+                          ep_axis: str):
+    """Private functional key switch with the one-hot contraction rows
+    sharded over ep (circuitPrivKS, poc_CircuitBootstrapping.cpp:667-698):
+    each device multiplies its row slice of privKS[z], one psum reduces."""
+    from tfhe_tpu.boot.circuit import priv_keyswitch_digits
+    digs = priv_keyswitch_digits(x64, ks)                # (..., n+1, t)
+    onehot = (digs[..., None] == jnp.arange(ks.base)).astype(jnp.int8)
+    onehot = onehot.reshape(*digs.shape[:-2], -1)
+    rows = w_local.shape[2]
+    lo = jax.lax.axis_index(ep_axis) * rows
+    onehot = lax.dynamic_slice_in_dim(onehot, lo, rows, axis=-1)
+    acc = 0
+    for l in range(w_local.shape[1]):
+        part = jnp.matmul(onehot, w_local[z, l],
+                          preferred_element_type=jnp.int32)
+        acc = acc + (part << (8 * l))
+    acc = lax.psum(acc, ep_axis)
+    return (-acc).reshape(*digs.shape[:-2], k + 1, N)
+
+
+def make_sharded_circuit_bootstrap_fn(p, mesh: Mesh, backend: str = "chunked",
+                                      shared_rotation: bool | None = None):
+    """Explicit-collective circuit bootstrap over a (dp, ep) mesh
+    (tfhe_CircuitBootstrapFFT, poc_CircuitBootstrapping.cpp:823-873,
+    composed per boot/circuit.py's corrected composition).
+
+    Batch shards over dp with no collectives (the OpenMP-parallel-for
+    analog).  ep shards every contraction's row axis — preKS rows, the
+    lvl2 external-product digit rows J=(k+1)*l2, and the privKS rows —
+    with exactly one psum per blind-rotation step / key switch; key
+    placement per `circuit_key_shardings`.
+
+    ep divides throughput less than dp (the rotation/decomposition VPU
+    work replicates over ep — see the module-docstring ep cost model);
+    its purpose here is KEY MEMORY: ep=2 halves the ~8 GB chunked wm and
+    the 2.7 GB privKS per-device residency at CB_MXU.
+
+    Returns (jitted fn(key_data, samples) -> TRGSW batch, placement fn).
+    Bit-identical to boot.circuit.circuit_bootstrap on the same backend
+    (int32/int64 wrap addition is associative, so the psum split is exact;
+    tests/test_shard_circuit.py asserts it).
+    """
+    from tfhe_tpu import noise
+    from tfhe_tpu.ops import poly as _poly
+
+    N2 = p.n_lvl2
+    k = p.lvl1.k
+    ell1, bgbit1 = p.tgsw_lvl1.l, p.tgsw_lvl1.bgbit
+    ep = mesh.shape["ep"]
+    ep_axis = "ep"      # size-1 psum is free; always route (VMA rules)
+    if shared_rotation is None:
+        shared_rotation = (noise.shared_rotation_penalty(p)
+                           <= noise.SHARED_ROTATION_MAX_PENALTY)
+
+    kpl2 = p.tgsw_lvl2.kpl
+    if kpl2 % ep:
+        raise ValueError(
+            f"ep={ep} does not divide the lvl2 digit-row count kpl={kpl2}: "
+            f"pick ep from its divisors")
+    preks_rows = p.n_lvl1 * p.ks10.t * p.ks10.base
+    privks_rows = (p.n_lvl2 + 1) * p.ks21.t * p.ks21.base
+    for name, rows in (("preKS", preks_rows), ("privKS", privks_rows)):
+        if rows % ep:
+            raise ValueError(f"ep={ep} does not divide the {name} "
+                             f"contraction rows ({rows})")
+    eng2 = make_engine(tgsw.engine_config(p.tgsw_lvl2), backend)
+
+    def local_fn(key_data, samples):
+        # 1. preKS lvl1 -> lvl0, rows over ep (poc:832)
+        x0 = _local_keyswitch(samples, key_data["preks"], p.ks10,
+                              p.n_lvl0, ep_axis)
+        # 2. mod switch to Z_{2*N2} (poc:836)
+        abar = T.mod_switch_from_torus32(x0[..., :-1], 2 * N2)
+        bbar = T.mod_switch_from_torus32(x0[..., -1], 2 * N2)
+
+        # 3. blind rotation(s) at lvl2, digit rows over ep
+        def rotate_for(mu2):
+            tv = jnp.concatenate([
+                jnp.full((N2 // 2,), -mu2, jnp.int64),
+                jnp.full((N2 // 2,), mu2, jnp.int64)])
+            tv = jnp.broadcast_to(tv, (bbar.shape[0], N2))
+            tv = _poly.mul_by_xai((2 * N2 - bbar) % (2 * N2), tv)
+            acc = tlwe.noiseless_trivial_poly(tv, p.lvl2.k)
+            acc = _local_blind_rotate(acc, key_data["bk"], abar,
+                                      p.tgsw_lvl2, eng2, ep_axis)
+            ext = tlwe.extract_lwe(acc, 0)
+            return ext.at[..., -1].add(mu2)
+
+        if shared_rotation:
+            base = rotate_for(jnp.int64(np.int64(1) << (63 - ell1 * bgbit1)))
+            exts = [(base.astype(jnp.int64) << (bgbit1 * (ell1 - 1 - w)))
+                    for w in range(ell1)]
+        else:
+            exts = [rotate_for(jnp.int64(np.int64(1)
+                                         << (63 - (w + 1) * bgbit1)))
+                    for w in range(ell1)]
+
+        # 4. private functional key switches, rows over ep (poc:845-855)
+        rows = []
+        for w, ext in enumerate(exts):
+            for z in range(k + 1):
+                rows.append(_local_priv_keyswitch(
+                    ext, key_data["privks"], p.ks21, z, k, p.n_lvl1,
+                    ep_axis))
+        out = jnp.stack(rows, axis=-3)      # (B, ell1*(k+1), k+1, N1)
+        B = out.shape[:-3]
+        out = out.reshape(*B, ell1, k + 1, k + 1, p.n_lvl1)
+        return jnp.swapaxes(out, -4, -3)    # (B, k+1, ell1, k+1, N1)
+
+    bk_spec = _cb_bk_ep_spec(backend)
+    fn = shard_map(local_fn, mesh=mesh,
+                   in_specs=({"bk": bk_spec,
+                              "preks": P(None, "ep", None),
+                              "privks": P(None, None, "ep", None)},
+                             P("dp", None)),
+                   out_specs=P("dp", None, None, None, None))
+
+    def place(key_data, samples):
+        key_data = jax.device_put(
+            key_data, circuit_key_shardings(mesh, key_data, backend))
+        samples = jax.device_put(
+            samples, NamedSharding(mesh, P("dp", None)))
+        return key_data, samples
+
+    return jax.jit(fn), place
+
+
 def pad_batch(samples, mesh: Mesh):
     """Round a ragged batch up to a multiple of dp with zero rows (they
     bootstrap to valid encryptions of False and are sliced off by the
