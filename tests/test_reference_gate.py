@@ -1,0 +1,97 @@
+"""Composed gate-bootstrap anchor vs a compiled library-API reference
+binary (VERDICT r3 item 4).
+
+native/ref_dump_gate.cpp compiles the reference's library-reference TUs
+(lwe/tlwe/tgsw/numeric_functions.cpp — SURVEY §2 R1-R6) standalone with an
+EXACT integer evaluation-domain layer (the reference's own fake-FFT
+pattern, poc_types.h:103-133) and drives the full upstream pipeline
+`tfhe_createLweBootstrappingKey -> tfhe_bootstrap_FFT`
+(lwe_functions.cpp:328-446) at the upstream default gate parameters.
+Every output is then an exact integer function of the dumped key material,
+and this test reproduces it BIT-FOR-BIT with repo primitives:
+
+  bootstrap_woks   mod switch + blind rotation + extract
+  lweKeySwitch     one-hot limb matmul (KeySwitchKey.from_raw)
+  bootstrap        the full composition
+
+Fixtures are ~130 MB, so they are generated on demand into a gitignored
+cache (first run builds the binary and takes ~2 min) instead of being
+committed like the small CB fixtures.
+"""
+
+import pathlib
+import subprocess
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tfhe_tpu.params import GATE_DEFAULT
+from tfhe_tpu import lwe, tgsw
+from tfhe_tpu.boot import gate
+
+P = GATE_DEFAULT
+n, N, k = P.lwe.n, P.tgsw.tlwe.N, P.tgsw.tlwe.k
+l = P.tgsw.l
+KPL = P.tgsw.kpl
+FIX = pathlib.Path(__file__).parent / "fixtures" / "ref_gate"
+NATIVE = pathlib.Path(__file__).parent.parent / "native"
+
+
+@pytest.fixture(scope="module")
+def fix():
+    if not (FIX / "gate_y3.i32").exists():
+        FIX.mkdir(parents=True, exist_ok=True)
+        subprocess.run(["make", "-C", str(NATIVE), "ref_dump_gate_exact"],
+                       check=True, capture_output=True)
+        subprocess.run([str(NATIVE / "ref_dump_gate_exact"), str(FIX)],
+                       check=True, capture_output=True)
+    return FIX
+
+
+def i32(d, name):
+    return np.fromfile(d / name, np.int32)
+
+
+@pytest.fixture(scope="module")
+def pipeline(fix):
+    gsw = i32(fix, "gate_bk.i32").reshape(n, KPL, k + 1, N)
+    eng = tgsw.make_engine(tgsw.engine_config(P.tgsw), "conv")
+    prep = jax.lax.map(lambda g: eng.prepare(g), jnp.asarray(gsw))
+    table = i32(fix, "gate_ks.i32").reshape(k * N, P.ks.t, P.ks.base, n + 1)
+    ksk = lwe.KeySwitchKey.from_raw(table, P.ks, keep_raw=False)
+    x = np.stack([i32(fix, f"gate_x{i}.i32") for i in range(4)])
+    u_ref = np.stack([i32(fix, f"gate_u{i}.i32") for i in range(4)])
+    y_ref = np.stack([i32(fix, f"gate_y{i}.i32") for i in range(4)])
+    return prep, ksk, jnp.asarray(x), u_ref, y_ref
+
+
+def test_bootstrap_woks_bit_exact(pipeline):
+    """Mod switch + blind rotation + extract == tfhe_bootstrap_woKS_FFT."""
+    prep, ksk, x, u_ref, y_ref = pipeline
+    ours = np.asarray(gate.bootstrap_woks(x, prep, P, mu=gate.MU_BOOL,
+                                          backend="conv"))
+    np.testing.assert_array_equal(ours, u_ref)
+
+
+def test_keyswitch_bit_exact(pipeline):
+    """One-hot limb-matmul key switch == lweKeySwitch on the dumped u."""
+    prep, ksk, x, u_ref, y_ref = pipeline
+    ours = np.asarray(lwe.keyswitch(jnp.asarray(u_ref), ksk))
+    np.testing.assert_array_equal(ours, y_ref)
+
+
+def test_bootstrap_composed_bit_exact(pipeline):
+    """The full composition == tfhe_bootstrap_FFT, and decrypts right."""
+    prep, ksk, x, u_ref, y_ref = pipeline
+    key_data = {"bk": prep, "ksw": ksk.w_limbs}
+    ours = np.asarray(gate.bootstrap(x, key_data, P, mu=gate.MU_BOOL,
+                                     backend="conv"))
+    np.testing.assert_array_equal(ours, y_ref)
+    # decrypt with the dumped secret key: signs = (False, True, False, True)
+    sk = i32(FIX, "gate_lwe_key.i32").astype(np.int64)
+    ph = ours[:, -1].astype(np.int64) - (ours[:, :-1].astype(np.int64)
+                                         * sk).sum(1)
+    signs = (np.int32(ph & 0xFFFFFFFF).astype(np.int32) > 0)
+    np.testing.assert_array_equal(signs, [False, True, False, True])

@@ -109,6 +109,22 @@ class KeySwitchKey:
         return KeySwitchKey(ks, n_in, n_out, w_limbs,
                             raw=table if keep_raw else None)
 
+    @staticmethod
+    def from_raw(table, ks: KeySwitchParams, keep_raw: bool = True
+                 ) -> "KeySwitchKey":
+        """Build the limb-matmul form from a raw (n_in, t, base, n_out+1)
+        int32 sample table (e.g. one dumped by an upstream-API reference
+        binary, lweCreateKeySwitchKey_fromArray layout)."""
+        table = np.asarray(table, np.int32)
+        n_in, t, base, np1 = table.shape
+        assert t == ks.t and base == ks.base
+        w = table.copy()
+        w[:, :, 0, :] = 0          # digit 0 contributes nothing
+        w = w.reshape(n_in * t * base, np1)
+        return KeySwitchKey(ks, n_in, np1 - 1,
+                            T.balanced_limbs(jnp.asarray(w), 4, 8),
+                            raw=table if keep_raw else None)
+
 
 def keyswitch_digits(samples_a, ks: KeySwitchParams):
     """Unsigned rounding digit decomposition of LWE mask coefficients

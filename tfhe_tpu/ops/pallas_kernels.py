@@ -25,11 +25,23 @@ Toolchain notes (jax 0.9.0 + axon remote compile, discovered empirically):
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# Mosaic's default scoped-VMEM cap is a SOFT 16 MB (round-4 finding: a
+# 64 MB-of-blocks kernel runs fine on v5e once the cap is raised), so the
+# round-3 tile choices were fighting an artificial wall.  All kernels
+# request this cap; ops/tiles.py budgets tiles against the same number.
+VMEM_LIMIT = int(os.environ.get("TFHE_VMEM_LIMIT", str(64 * 2**20)))
+
+
+def _cparams(*semantics):
+    return pltpu.CompilerParams(dimension_semantics=semantics,
+                                vmem_limit_bytes=VMEM_LIMIT)
 
 
 def _make_materialize_kernel(J, U, L, nsub, rows, N):
@@ -176,8 +188,7 @@ def rotate_decompose(a, acc, *, l: int, bgbit: int, offset: int,
         ],
         out_specs=pl.BlockSpec((tb, l, N), lambda i: (i, i - i, i - i)),
         out_shape=jax.ShapeDtypeStruct((B * kp1, l, N), jnp.int8),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+        compiler_params=_cparams("parallel"),
         interpret=interpret,
     )(a2, acc.reshape(B * kp1, N))
     return out.reshape(B, kp1 * l, N)
@@ -362,8 +373,7 @@ def fused_cmux_step(a, acc, w, *, l: int, bgbit: int, offset: int,
             pltpu.VMEM((tm, l * N), jnp.int8),   # dig ping
             pltpu.VMEM((tm, l * N), jnp.int8),   # dig pong
         ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+        compiler_params=_cparams("arbitrary", "arbitrary", "arbitrary"),
         interpret=interpret,
     )(a2, a2, acc.reshape(B, kp1 * N), acc.reshape(B, kp1 * N), w)
     return out.reshape(B, kp1, N)
@@ -533,8 +543,7 @@ def fused_cmux_step_v2(a, acc, w, *, l: int, bgbit: int, offset: int,
             pltpu.VMEM((tm, J * N), jnp.int8),       # dig pong
             pltpu.VMEM((tm, kp1 * N), jnp.int32),    # output accumulator
         ],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+        compiler_params=_cparams("arbitrary", "arbitrary"),
         interpret=interpret,
     )(a2, a2, acc.reshape(B, kp1 * N), acc.reshape(B, kp1 * N), *ws)
     return out.reshape(B, kp1, N)
@@ -652,8 +661,7 @@ def rotate_decompose64(a, acc_lo, acc_hi, *, l: int, bgbit: int, offset: int,
         out_specs=pl.BlockSpec((tb, l * planes, N),
                                lambda i: (i, i - i, i - i)),
         out_shape=jax.ShapeDtypeStruct((rows, l * planes, N), jnp.int8),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)),
+        compiler_params=_cparams("parallel"),
         interpret=interpret,
     )(a2, acc_lo.reshape(rows, N), acc_hi.reshape(rows, N))
 
@@ -756,8 +764,7 @@ def rotate_decompose64_ck(a, acc_lo, acc_hi, *, l: int, bgbit: int,
         out_specs=pl.BlockSpec((tb, C * planes * ckp),
                                lambda i, u: (i, u - u)),
         out_shape=jax.ShapeDtypeStruct((B, C * planes * ckp), jnp.int8),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+        compiler_params=_cparams("arbitrary", "arbitrary"),
         interpret=interpret,
     )(a2, acc_lo.reshape(kp1 * B, N), acc_hi.reshape(kp1 * B, N))
     return out
@@ -809,8 +816,7 @@ def ck_dot64p(x, wm, *, N: int, m: int, planes: int = 1, tm: int = 128,
         out_specs=pl.BlockSpec((lgsize, tm, N), lambda i, g: (g, i, i - i)),
         out_shape=jax.ShapeDtypeStruct((UL, B, N), jnp.int32),
         scratch_shapes=[pltpu.VMEM((tm, 2 * N), jnp.int32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+        compiler_params=_cparams("arbitrary", "arbitrary"),
         interpret=interpret,
     )(x, wm)
 
@@ -999,8 +1005,7 @@ def ck_cmux_step32(a, acc, wm, *, l: int, bgbit: int, offset: int,
                           jnp.int8)] * 2               # dig ping/pong
             + [pltpu.VMEM((tm, 2 * N), jnp.int32)]   # ring accumulator
         ),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+        compiler_params=_cparams("arbitrary", "arbitrary"),
         interpret=interpret,
     )(a2, a2, acc.reshape(B, kp1 * N), acc.reshape(B, kp1 * N), wm)
     return out if flat else out.reshape(B, kp1, N)
@@ -1061,8 +1066,7 @@ def mm_recombine_acc(x, w, acc_in, *, shift_base: int = 0,
         out_specs=pl.BlockSpec((tm, tn), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((B, UN), jnp.int32),
         scratch_shapes=[pltpu.VMEM((tm, tn), jnp.int32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        compiler_params=_cparams("parallel", "parallel", "arbitrary"),
         interpret=interpret,
     )(x, w, acc_in.reshape(B, UN))
     return out.reshape(lead_shape)
