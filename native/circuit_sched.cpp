@@ -46,6 +46,7 @@ enum Kind : int32_t {
   K_CONST0 = 8,   // free (trivial sample)
   K_CONST1 = 9,
   K_MUX = 10,     // three bootstraps in gate.py's formulation
+  K_BINARY = 11,  // wave kind only: mixed 2-input boolean gates
 };
 
 struct Gate {
@@ -167,24 +168,38 @@ int32_t circ_schedule(int32_t h) {
       if (c->gates[u].crit + 1 > m) m = c->gates[u].crit + 1;
     c->gates[g].crit = m;
   }
-  // waves: (level, kind) buckets; within a level, most critical kind first
+  // waves: every 2-input boolean gate is bootstrap(c0 + w1*x + w2*y) with
+  // per-gate constants (boot/gate.py), so ALL binary kinds of a level
+  // merge into ONE K_BINARY wave — one fused blind-rotation launch per
+  // level instead of one per (level, kind), and one executor compile per
+  // wave WIDTH instead of per (kind, width).  MUX (3 bootstraps) stays a
+  // separate wave.  Most-critical bucket first within a level.
   c->waves.clear();
   c->wave_kind.clear();
   for (int32_t lv = 0; lv <= max_level; ++lv) {
-    std::map<int32_t, std::vector<int32_t>> bykind;
-    std::map<int32_t, int32_t> kcrit;
+    std::vector<int32_t> binary, mux;
+    int32_t bcrit = 0, mcrit = 0;
     for (int32_t g = 0; g < n; ++g)
       if (c->gates[g].level == lv) {
-        bykind[c->gates[g].kind].push_back(g);
-        int32_t& kc = kcrit[c->gates[g].kind];
-        if (c->gates[g].crit > kc) kc = c->gates[g].crit;
+        if (c->gates[g].kind == K_MUX) {
+          mux.push_back(g);
+          if (c->gates[g].crit > mcrit) mcrit = c->gates[g].crit;
+        } else {
+          binary.push_back(g);
+          if (c->gates[g].crit > bcrit) bcrit = c->gates[g].crit;
+        }
       }
-    std::vector<std::pair<int32_t, int32_t>> order;  // (-crit, kind)
-    for (auto& kv : bykind) order.push_back({-kcrit[kv.first], kv.first});
-    std::sort(order.begin(), order.end());
-    for (auto& pr : order) {
-      c->waves.push_back(bykind[pr.second]);
-      c->wave_kind.push_back(pr.second);
+    const bool mux_first = !mux.empty() && mcrit > bcrit;
+    for (int pass = 0; pass < 2; ++pass) {
+      if ((pass == 0) == mux_first) {
+        if (!mux.empty()) {
+          c->waves.push_back(mux);
+          c->wave_kind.push_back(K_MUX);
+        }
+      } else if (!binary.empty()) {
+        c->waves.push_back(binary);
+        c->wave_kind.push_back(K_BINARY);
+      }
     }
   }
   c->scheduled = true;

@@ -31,16 +31,18 @@ def test_scheduler_levelizes_and_folds_frees():
     m = circ.mux(g3, g1, k1)
     waves = circ.schedule()
     kinds = [k for k, _ in waves]
-    # level 0: and + xor (two waves, independent); level 1: nand; level 2: mux
-    assert sorted(kinds[:2]) == ["and", "xor"]
-    assert kinds[2:] == ["nand", "mux"]
+    # level 0: and + xor MERGED into one binary wave (one launch);
+    # level 1: nand (binary); level 2: mux
+    assert kinds == ["binary", "binary", "mux"]
+    lvl0 = waves[0][1]
+    assert sorted(g[0] for g in lvl0) == [1, 3]        # and + xor kinds
     # NOT folded into a negated reference of wire 0
-    and_wave = dict(waves)["and"]
-    (a_ref, b_ref, _c, _out) = and_wave[0]
+    and_gate = [g for g in lvl0 if g[0] == 1][0]
+    (_k, a_ref, b_ref, _c, _out) = and_gate
     assert a_ref == (0, True, False) and b_ref == (1, False, False)
     # const folded into the mux operand
     mux_wave = dict(waves)["mux"]
-    assert mux_wave[0][2][0] == -1 and mux_wave[0][2][2] is True
+    assert mux_wave[0][3][0] == -1 and mux_wave[0][3][2] is True
 
 
 def test_homomorphic_adder_matches_plain():
@@ -101,7 +103,11 @@ def test_observability_records_waves():
     ct = gate.encrypt_bool(sk, np.array([True, False]), rng)
     evaluate(circ, ct, ck.data, p, [g1, g2], backend="onthefly")
     rep = obs.report()
-    assert rep["counters"]["circuit.waves"] == 2
+    # and + xor merge into ONE binary wave (one launch, two gates)
+    assert rep["counters"]["circuit.waves"] == 1
     assert rep["counters"]["circuit.gates"] == 2
-    assert "circuit.wave.and" in rep["spans"]
-    assert rep["observations"]["circuit.wave_width"]["max"] == 1.0
+    assert rep["counters"]["bootstrap.launches"] == 1
+    # the wave-jit cache persists across calls: at most one fresh compile
+    assert rep["counters"].get("circuit.wave_compiles", 0) <= 1
+    assert "circuit.wave.binary" in rep["spans"]
+    assert rep["observations"]["circuit.wave_width"]["max"] == 2.0

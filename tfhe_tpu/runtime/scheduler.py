@@ -26,8 +26,19 @@ import jax.numpy as jnp
 _WAVE_JIT: dict = {}     # (kind, shape, params, backend) -> jitted wave fn
 
 _KINDS = {"and": 1, "or": 2, "xor": 3, "nand": 4, "nor": 5, "xnor": 6,
-          "not": 7, "const0": 8, "const1": 9, "mux": 10}
+          "not": 7, "const0": 8, "const1": 9, "mux": 10, "binary": 11}
 _KIND_NAMES = {v: k for k, v in _KINDS.items()}
+
+# every 2-input boolean gate is bootstrap(w*(x + sy*y) + (0,...,0,c0)):
+# kind -> (c0, wx, wy) with t = wx*x + wy*y + c0 at the body coordinate
+# (the affine encodings of boot/gate.py's gate_* functions)
+_MU = 1 << 29
+_AFFINE = {1: (-_MU, 1, 1),            # and
+           2: (_MU, 1, 1),             # or
+           3: (1 << 30, 2, 2),         # xor
+           4: (_MU, -1, -1),           # nand
+           5: (-_MU, -1, -1),          # nor
+           6: (-(1 << 30), -2, -2)}    # xnor
 
 
 def _lib():
@@ -83,8 +94,11 @@ class Circuit:
         return int(self._lib.circ_mux(self._h, c, x, y))
 
     def schedule(self):
-        """-> [(kind_name, [(a_ref, b_ref, c_ref, out_wire), ...]), ...]
-        where each ref is (base_wire|-1, negated, const_val)."""
+        """-> [(kind_name, [(gate_kind, a_ref, b_ref, c_ref, out_wire),
+        ...]), ...] where each ref is (base_wire|-1, negated, const_val).
+        Wave kinds are "binary" (all 2-input boolean gates of a level,
+        mixed kinds — gate_kind carries the per-gate affine encoding) and
+        "mux"."""
         n_waves = int(self._lib.circ_schedule(self._h))
         waves = []
         cap = max(1, int(self._lib.circ_n_gates(self._h)))
@@ -98,7 +112,8 @@ class Circuit:
             gates = []
             for g in buf[:cnt]:
                 self._lib.circ_gate_info(self._h, g, info)
-                gates.append((self._wire_ref(info[1]),
+                gates.append((int(info[0]),
+                              self._wire_ref(info[1]),
                               self._wire_ref(info[2]),
                               self._wire_ref(info[3]), int(info[4])))
             waves.append((_KIND_NAMES[kind.value], gates))
@@ -171,9 +186,29 @@ def evaluate(circ: Circuit, inputs, ck_data, params, outputs,
         res = _WAVE_JIT[key](ck_data, *flat)
         return res.reshape(ops[0].shape)
 
-    binop = {"and": gate.gate_and, "or": gate.gate_or, "xor": gate.gate_xor,
-             "nand": gate.gate_nand, "nor": gate.gate_nor,
-             "xnor": gate.gate_xnor}
+    def run_binary(a, b, c0, wx, wy):
+        # ONE launch for a whole level's mixed binary gates: the affine
+        # combination t = wx*x + wy*y + (0,..,0,c0) is computed with the
+        # per-gate constants as TRACED arrays, so the jit cache keys only
+        # on the wave SHAPE — any kind mix of the same width reuses it.
+        key = ("binary", a.shape, params, backend)
+        if key not in _WAVE_JIT:
+            def fnb(ck, a, b, c0, wx, wy):
+                sh = (-1,) + (1,) * (a.ndim - 1)
+                t = wx.reshape(sh) * a + wy.reshape(sh) * b
+                t = t.at[..., -1].add(c0.reshape(sh[:-1]))
+                flat = t.reshape(-1, n + 1)
+                out = gate.bootstrap(flat, ck, params, gate.MU_BOOL,
+                                     backend)
+                return out.reshape(a.shape)
+            _WAVE_JIT[key] = jax.jit(fnb)
+            obs.count("circuit.wave_compiles")
+        obs.count("bootstrap.launches")
+        obs.count("bootstrap.ciphertexts",
+                  int(np.prod(a.shape[:-1])) or 1)
+        return _WAVE_JIT[key](ck_data, a, b, jnp.asarray(c0),
+                              jnp.asarray(wx), jnp.asarray(wy))
+
     for kind, gates in circ.schedule():
         obs.count("circuit.gates", len(gates))
         obs.count("circuit.waves")
@@ -182,16 +217,19 @@ def evaluate(circ: Circuit, inputs, ck_data, params, outputs,
                     else len(gates))
         with obs.span(f"circuit.wave.{kind}"):
             if kind == "mux":
-                c = jnp.stack([fetch(g[0]) for g in gates])
-                x = jnp.stack([fetch(g[1]) for g in gates])
-                y = jnp.stack([fetch(g[2]) for g in gates])
+                c = jnp.stack([fetch(g[1]) for g in gates])
+                x = jnp.stack([fetch(g[2]) for g in gates])
+                y = jnp.stack([fetch(g[3]) for g in gates])
                 res = run(kind, gate.gate_mux, c, x, y)
             else:
-                a = jnp.stack([fetch(g[0]) for g in gates])
-                b = jnp.stack([fetch(g[1]) for g in gates])
-                res = run(kind, binop[kind], a, b)
+                a = jnp.stack([fetch(g[1]) for g in gates])
+                b = jnp.stack([fetch(g[2]) for g in gates])
+                c0 = np.array([_AFFINE[g[0]][0] for g in gates], np.int32)
+                wx = np.array([_AFFINE[g[0]][1] for g in gates], np.int32)
+                wy = np.array([_AFFINE[g[0]][2] for g in gates], np.int32)
+                res = run_binary(a, b, c0, wx, wy)
             for i, g in enumerate(gates):
-                store[g[3]] = res[i]
+                store[g[4]] = res[i]
 
     outs = []
     for w in outputs:
