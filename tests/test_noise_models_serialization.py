@@ -125,3 +125,44 @@ def test_serialization_roundtrip_chunked(tmp_path):
                                      backend="chunked"))
     got = np.asarray(gate.bootstrap(ct, tree, GATE_TOY, backend="chunked"))
     np.testing.assert_array_equal(got, want)
+
+
+def test_circuit_key_raw_bk_roundtrip(tmp_path):
+    """CB-scale checkpoint format (VERDICT r3 item 8): the on-disk form is
+    the RAW TRGSW64 bk (+ preks/privks limbs) — ~m/2 x smaller than the
+    prepared chunked wm — and load_circuit_key rebuilds the prepared form
+    on the accelerator.  The rebuilt key must be bit-identical and the
+    bootstrap output must match."""
+    import jax
+    from tfhe_tpu.boot import circuit
+    from tfhe_tpu.params import CB_TOY
+    from tfhe_tpu import lwe
+    from tfhe_tpu.utils import serialization as ser
+    rng = TfheRng(42)
+    sk = circuit.CircuitSecretKey.generate(CB_TOY, rng)
+    ck = circuit.CircuitCloudKey.generate(sk, rng, backend="chunked",
+                                          keep_raw_bk=True)
+    path = str(tmp_path / "circuit_key.npz")
+    ser.save_circuit_key(path, ck)
+    key_data, params = ser.load_circuit_key(path)
+    assert params == CB_TOY
+    for a, b in zip(jax.tree.leaves(ck.data["bk"]),
+                    jax.tree.leaves(key_data["bk"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    msgs = np.array([np.int32(-(1 << 31)), 0], np.int32)
+    ct = lwe.encrypt(sk.lwe_lvl1, msgs, TfheRng(7), 2.0**-20)
+    want = np.asarray(circuit.circuit_bootstrap(ct, ck.data, CB_TOY,
+                                                backend="chunked"))
+    got = np.asarray(circuit.circuit_bootstrap(ct, key_data, CB_TOY,
+                                               backend="chunked"))
+    np.testing.assert_array_equal(got, want)
+    # a different backend can be rebuilt from the same raw bk
+    key_conv, _ = ser.load_circuit_key(path, backend="conv")
+    out_conv = np.asarray(circuit.circuit_bootstrap(ct, key_conv, CB_TOY,
+                                                    backend="conv"))
+    np.testing.assert_array_equal(out_conv, want)   # exact engines agree
+    # keys generated without the raw bk refuse to serialize
+    ck2 = circuit.CircuitCloudKey.generate(sk, TfheRng(1), backend="conv")
+    import pytest
+    with pytest.raises(ValueError, match="keep_raw_bk"):
+        ser.save_circuit_key(str(tmp_path / "x.npz"), ck2)

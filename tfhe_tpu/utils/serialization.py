@@ -14,6 +14,7 @@ import json
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 
 
 def _params_to_dict(obj):
@@ -81,3 +82,51 @@ def load_keydata(path: str, device=None):
     header = json.loads(bytes(z["__header__"]).decode())
     tree = _decode(header["skeleton"], z, device)
     return tree, _params_from_dict(header["params"]), header["meta"]
+
+
+def save_circuit_key(path: str, ck):
+    """Serialize a CircuitCloudKey at RAW-bk scale.
+
+    The chunked backend's prepared wm is ~m/2 x the raw bk (~8 GB at
+    CB_MXU/m=64) — far too large to ship or store.  The stable on-disk
+    form is therefore {preks limbs, privks limbs, RAW TRGSW64 bk}; the
+    prepared form is rebuilt ON the accelerator at load
+    (circuit.prepare_circuit_bk), exactly like keygen does.  Requires
+    CircuitCloudKey.generate(keep_raw_bk=True).
+    """
+    if ck.bk_raw is None:
+        raise ValueError("CircuitCloudKey was generated without "
+                         "keep_raw_bk=True: no raw bk to serialize")
+    return save_keydata(path, {
+        "preks": np.asarray(ck.preks.w_limbs),
+        "privks": np.asarray(ck.privks.w_limbs),
+        "bk_raw": np.asarray(ck.bk_raw),
+    }, params=ck.params, meta={"backend": ck.backend,
+                               "format": "circuit_raw_bk", "version": 1})
+
+
+def load_circuit_key(path: str, backend: str | None = None, device=None):
+    """-> (key_data dict for circuit_bootstrap, CircuitParams).
+
+    Rebuilds the engine-prepared bk from the stored raw TRGSW64 on the
+    accelerator; preks/privks load verbatim.  `backend` overrides the
+    stored one (the raw bk serves any engine)."""
+    from tfhe_tpu.boot import circuit as _circuit
+    from tfhe_tpu.utils import observability as obs
+    tree, params, meta = load_keydata(path)
+    if meta.get("format") != "circuit_raw_bk":
+        raise ValueError(f"not a circuit key file: {meta}")
+    backend = backend or meta["backend"]
+    if device is None and jax.devices()[0].platform != "cpu":
+        device = jax.devices()[0]
+    with obs.span("keyload.circuit.bk_prepare"):
+        prep = _circuit.prepare_circuit_bk(jnp.asarray(tree["bk_raw"]),
+                                           params, backend)
+        jax.block_until_ready(prep)
+    with obs.span("keyload.circuit.ks_transfer"):
+        preks = jax.device_put(tree["preks"], device) \
+            if device is not None else jnp.asarray(tree["preks"])
+        privks = jax.device_put(tree["privks"], device) \
+            if device is not None else jnp.asarray(tree["privks"])
+        jax.block_until_ready((preks, privks))
+    return {"preks": preks, "bk": prep, "privks": privks}, params

@@ -33,30 +33,36 @@ p = {"active": CB_ACTIVE, "mxu": CB_MXU,
 backend = os.environ.get("CB_BACKEND", "conv")
 dev = jax.devices()[0]
 
+from tfhe_tpu.utils import observability as obs
+from tfhe_tpu.utils import serialization
+
 t0 = time.time()
 rng = TfheRng(0)
-cache = os.environ.get("CB_KEYCACHE", "/tmp/cb_keys_%s_%s.npz"
-                       % (os.environ.get("CB_PARAMS", "active"), backend))
-if backend == "chunked":
-    cache = None          # wm is ~8 GB (m-fold pre-shift blowup): no npz
+# key cache: ALL backends, stored at raw-bk scale (the chunked wm is
+# rebuilt on-device at load — serialization.load_circuit_key)
+cache = os.environ.get("CB_KEYCACHE", "/tmp/cb_circuit_key_%s.npz"
+                       % os.environ.get("CB_PARAMS", "active"))
 sk = circuit.CircuitSecretKey.generate(p, rng)
+keygen_spans = {}
+reload_s = None
 if cache and os.path.exists(cache):
-    # bk is an engine-prepared pytree; leaves saved as bk_<key> arrays
-    z = np.load(cache)
-    key_data = {"preks": jnp.asarray(z["preks"]),
-                "bk": {k[3:]: jnp.asarray(z[k]) for k in z.files
-                       if k.startswith("bk_")},
-                "privks": jnp.asarray(z["privks"])}
-    # rng state advanced identically? not needed: sk regenerated above is
-    # deterministic (same seed) and key material is loaded verbatim.
+    key_data, _lp = serialization.load_circuit_key(cache, backend=backend)
+    reload_s = time.time() - t0
+    print(f"# key reload {reload_s:.1f}s (vs regenerate)", file=sys.stderr,
+          flush=True)
 else:
-    ck = circuit.CircuitCloudKey.generate(sk, rng, backend=backend)
+    ck = circuit.CircuitCloudKey.generate(sk, rng, backend=backend,
+                                          keep_raw_bk=bool(cache))
     key_data = ck.data
+    keygen_spans = {k: round(v["total_s"], 2)
+                    for k, v in obs.report()["spans"].items()
+                    if k.startswith("keygen.circuit")}
+    print(f"# keygen spans: {keygen_spans}", file=sys.stderr, flush=True)
     if cache:
-        np.savez(cache, preks=np.asarray(key_data["preks"]),
-                 privks=np.asarray(key_data["privks"]),
-                 **{"bk_" + k: np.asarray(v)
-                    for k, v in key_data["bk"].items()})
+        t1 = time.time()
+        serialization.save_circuit_key(cache, ck)
+        print(f"# key save {time.time()-t1:.1f}s -> {cache}",
+              file=sys.stderr, flush=True)
 keygen_s = time.time() - t0
 print(f"# keygen {keygen_s:.1f}s", file=sys.stderr, flush=True)
 
@@ -114,6 +120,8 @@ result = {
     "params": f"n0={p.n_lvl0},N1={p.n_lvl1},N2={p.n_lvl2},l2={p.tgsw_lvl2.l}",
     "device": str(dev),
     "keygen_s": round(keygen_s, 1),
+    "keygen_spans": keygen_spans,
+    "key_reload_s": None if reload_s is None else round(reload_s, 1),
     "row_probe_max_dev": float(max_dev),
     "rows_correct": bool(ok),
     "cmux_correct": cmux_ok,
