@@ -246,3 +246,36 @@ def test_ck_cmux_step32(N, k, l, bgbit, klimbs, m, tm):
         offset=p.offset, key_shift=cfg.key_shift, m=m, tm=tm,
         interpret=True))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("N,k,l,bgbit,klimbs,m,tm", [
+    (128, 1, 2, 9, 3, 64, 2),      # plane-split digits (P=2)
+    (128, 1, 3, 8, 0, 64, 2),      # single plane, 8 limbs
+    (256, 1, 2, 8, 6, 64, 4),      # CB_MXU-like 6-limb key
+])
+def test_ck_cmux_step64(N, k, l, bgbit, klimbs, m, tm):
+    """Fully fused 64-bit chunked CMux (interpret) == generic pair CMux
+    (rotate + decompose + engine accumulate + pair recombination)."""
+    from tfhe_tpu.ops.pallas_kernels import ck_cmux_step64
+    r = np.random.default_rng(8)
+    p = TGswParams(l=l, bgbit=bgbit, key_limbs=klimbs,
+                   tlwe=TLweParams(N=N, k=k, stdev=0.0, bits=64))
+    cfg = tgsw.engine_config(p)
+    ce = ChunkedEngine(cfg, m=m)
+    B = 4
+    key = r.integers(-2**40, 2**40, (p.kpl, k + 1, N)).astype(np.int64)
+    acc = r.integers(-2**63, 2**63, (B, k + 1, N)).astype(np.int64)
+    a = r.integers(0, 2 * N, (B,)).astype(np.int32)
+    prep = ce.prepare(jnp.asarray(key))
+    acc2 = tlwe.mul_by_xai_minus_one(jnp.asarray(a), jnp.asarray(acc))
+    want = np.asarray(jnp.asarray(acc)
+                      + ce.accumulate(decompose_tlwe(acc2, p), prep))
+    # flat (B, (k+1)*N) pair layout
+    lo, hi = i64pair.from_i64(jnp.asarray(acc).reshape(B, (k + 1) * N))
+    pb, P = cfg.plane_split
+    olo, ohi = ck_cmux_step64(jnp.asarray(a), lo, hi, prep["wm"], l=l,
+                              bgbit=bgbit, offset=p.offset,
+                              key_shift=cfg.key_shift, m=m, planes=P,
+                              tm=tm, kp1=k + 1, interpret=True)
+    got = np.asarray(i64pair.to_i64(olo, ohi)).reshape(B, k + 1, N)
+    np.testing.assert_array_equal(got, want)

@@ -87,6 +87,36 @@ def test_lut_tree():
         assert abs(int(ph[0]) - int(values[index])) < 2**16, index
 
 
+def test_lut_tree_production_geometry():
+    """eval_lut_batch at the PRODUCTION lvl1 output geometry of the CB
+    pipeline (CB_MXU/CB_ACTIVE tgsw_lvl1: N=1024, l=2, Bg=2^8) with
+    synthetic noisy TRGSW selectors — the LUT side of BASELINE config 4
+    without the (hardware-benched) circuit bootstrap in front
+    (tools/cb_lut_bench.py drives the full composition on the chip)."""
+    from tfhe_tpu.models import lut
+    from tfhe_tpu.params import CB_MXU
+    p = CB_MXU.tgsw_lvl1
+    rng = TfheRng(44)
+    key = tlwe.TLweKey.generate(p.tlwe, rng)
+    r = np.random.default_rng(9)
+    K, NI = 3, 4
+    # 4-bit message space (amplitude grid 2^28): the tree noise at this
+    # gadget (l*bgbit=16 tail over K levels) is ~2^24-2^25, so coarse-grid
+    # messages decode exactly while full-torus equality would not
+    values = (r.integers(0, 16, 1 << K).astype(np.int32) << 28)
+    idx = r.integers(0, 1 << K, NI)
+    bits = ((idx[:, None] >> np.arange(K)[None, :]) & 1).reshape(-1)
+    gsw = tgsw.encrypt(key, bits.astype(np.int32), p, rng, stdev=2.0**-25)
+    sel = np.asarray(gsw).reshape(NI, K, *gsw.shape[1:])
+    out = lut.eval_lut_batch(sel, values, p, backend="conv")
+    ph = np.asarray(tlwe.tlwe_phase(out, key))[:, 0]
+    dec = ((ph.astype(np.int64) + (1 << 27)) >> 28) & 15
+    np.testing.assert_array_equal(dec, (values[idx] >> 28) & 15)
+    err = np.abs(((ph.astype(np.int64) - values[idx].astype(np.int64)
+                   + 2**31) % 2**32) - 2**31)
+    assert err.max() < 2**27, err.max()      # noise margin
+
+
 def test_serialization_roundtrip(tmp_path):
     from tfhe_tpu.utils import serialization as ser
     from tfhe_tpu.boot import gate

@@ -1011,6 +1011,258 @@ def ck_cmux_step32(a, acc, wm, *, l: int, bgbit: int, offset: int,
     return out if flat else out.reshape(B, kp1, N)
 
 
+# ---------------------------------------------------------------------------
+# Fully fused 64-bit chunked CMux step (VERDICT r3 item 2).
+#
+# Round-3 shipped the 64-bit step as TWO kernels (rotate_decompose64_ck then
+# ck_dot64p) plus an XLA pair-recombination epilogue; measured at CB_MXU
+# B=256 (tools/profile_step64.py): rotate 208 us + dots 627 us + epilogue
+# 59 us, executed SERIALLY by the TensorCore (875 us total).  This kernel
+# ports the ck_cmux_step32 schedule to the (lo, hi) int32 pair
+# representation: grid (i, u, t) = (batch tile, output poly, limb group),
+# each cell dots its limb group's chunks while the rotation/decomposition
+# pipeline of the NEXT batch tile runs spread one-or-more units per cell
+# into ping-pong digit buffers, and the 64-bit limb recombination
+# accumulates across the t cells in (zlo, zhi) scratch with explicit
+# carries — no intermediate (UL, B, N) int32 array ever touches HBM.
+#
+# The pair carry is FLAT (B, kp1*N) here (not the two-kernel path's
+# U-major (kp1, B, N)): the epilogue add reads per-poly (tm, N) blocks at
+# (i, u) and the rotation seeds read the full-width next-tile block at
+# (i+1, 0), so no transpose exists anywhere in the scan.
+# ---------------------------------------------------------------------------
+
+
+def _ck_cmux64_kernel(N, m, C, kp1, l, L, P, bgbit, offset, key_shift,
+                      nb, skip_vpu=False):
+    Jm = kp1 * l * m
+    ckp = -(-Jm // 128) * 128
+    Npm = N + m
+    nbits = (2 * N - 1).bit_length()       # negacyclic stages (mod 2N)
+    half = 1 << (bgbit - 1)
+    dmask = (1 << bgbit) - 1
+    off_lo = offset & 0xFFFFFFFF
+    off_hi = (offset >> 32) & 0xFFFFFFFF
+    # pipeline units per tile: seed, rolls, sub+offset, l extracts, per poly
+    n_units = kp1 * (1 + nbits + 1 + l)
+    n_cells = kp1
+    unit_cell = [min(q * n_cells // n_units, n_cells - 1)
+                 for q in range(n_units)]
+
+    def kernel(acur_ref, anext_ref, alo_ref, ahi_ref, clo_ref, chi_ref,
+               nlo_ref, nhi_ref, w_ref, olo_ref, ohi_ref, rlo_ref, rhi_ref,
+               glo_ref, ghi_ref, arot_ref, dig0_ref, dig1_ref, ring_ref):
+        i = pl.program_id(0)
+        u = pl.program_id(1)
+        cell = u
+        digs = (dig0_ref, dig1_ref)
+
+        # ---- VPU pipeline units: NEXT tile's rotation + decomposition ---
+        def unit_seed(ui, next_tile):
+            slo = nlo_ref if next_tile else clo_ref
+            shi = nhi_ref if next_tile else chi_ref
+            glo_ref[:, :] = slo[:, pl.ds(ui * N, N)]
+            ghi_ref[:, :] = shi[:, pl.ds(ui * N, N)]
+            rlo_ref[:, :] = slo[:, pl.ds(ui * N, N)]
+            rhi_ref[:, :] = shi[:, pl.ds(ui * N, N)]
+            arot_ref[:, :] = anext_ref[:] if next_tile else acur_ref[:]
+
+        def unit_roll(w):
+            r = 1 << w
+            lo, hi = rlo_ref[:], rhi_ref[:]
+            if r < N:
+                rl = pltpu.roll(lo, jnp.int32(r), axis=1)
+                rh = pltpu.roll(hi, jnp.int32(r), axis=1)
+                lane = jax.lax.broadcasted_iota(jnp.int32, lo.shape, 1)
+                wrap = lane < r
+                nl = jnp.where(wrap, -rl, rl)
+                nh = jnp.where(wrap, ~rh + (rl == 0).astype(jnp.int32), rh)
+            else:                              # X^N = -1: negate all
+                nl = -lo
+                nh = ~hi + (lo == 0).astype(jnp.int32)
+            bit = ((arot_ref[:] >> w) & 1) > 0
+            rlo_ref[:, :] = jnp.where(bit, nl, lo)
+            rhi_ref[:, :] = jnp.where(bit, nh, hi)
+
+        def unit_suboff():
+            lo, hi = rlo_ref[:], rhi_ref[:]
+            olo, ohi = glo_ref[:], ghi_ref[:]
+            borrow = (lo.astype(jnp.uint32)
+                      < olo.astype(jnp.uint32)).astype(jnp.int32)
+            dlo = lo - olo
+            dhi = hi - ohi - borrow
+            slo = dlo + _i32(off_lo)
+            carry = (slo.astype(jnp.uint32)
+                     < jnp.uint32(off_lo)).astype(jnp.int32)
+            rlo_ref[:, :] = slo
+            rhi_ref[:, :] = dhi + _i32(off_hi) + carry
+
+        def unit_extract(ui, lv, wbuf):
+            ulo = rlo_ref[:].astype(jnp.uint32)
+            uhi = rhi_ref[:].astype(jnp.uint32)
+            s = 64 - (lv + 1) * bgbit
+            if s >= 32:
+                v = uhi >> jnp.uint32(s - 32)
+            elif s + bgbit <= 32:
+                v = ulo >> jnp.uint32(s)
+            else:
+                v = (ulo >> jnp.uint32(s)) | (uhi << jnp.uint32(32 - s))
+            d = (v & jnp.uint32(dmask)).astype(jnp.int32) - half
+            if P == 1:
+                d8 = d.astype(jnp.int8)
+                for c in range(C):
+                    off = c * ckp + (ui * l + lv) * m
+                    wbuf[:, off:off + m] = d8[:, c * m:(c + 1) * m]
+            else:                              # balanced base-2^7 planes
+                p0 = (((d + 64) & 127) - 64)
+                p1 = ((d - p0) >> 7)
+                p08, p18 = p0.astype(jnp.int8), p1.astype(jnp.int8)
+                for c in range(C):
+                    o0 = (c * P) * ckp + (ui * l + lv) * m
+                    o1 = (c * P + 1) * ckp + (ui * l + lv) * m
+                    wbuf[:, o0:o0 + m] = p08[:, c * m:(c + 1) * m]
+                    wbuf[:, o1:o1 + m] = p18[:, c * m:(c + 1) * m]
+
+        def run_unit(q, wbuf, next_tile=True):
+            ui, uq = q // (1 + nbits + 1 + l), q % (1 + nbits + 1 + l)
+            if uq == 0:
+                unit_seed(ui, next_tile)
+            elif uq <= nbits:
+                unit_roll(uq - 1)
+            elif uq == nbits + 1:
+                unit_suboff()
+            else:
+                unit_extract(ui, uq - nbits - 2, wbuf)
+
+        if not skip_vpu:
+            # prologue: tile 0's digits built whole before its first dot
+            @pl.when((i == 0) & (cell == 0))
+            def _():
+                for q in range(n_units):
+                    run_unit(q, dig0_ref, next_tile=False)
+
+            # steady state: next tile's digits spread over this tile's cells
+            for wb in range(2):
+                @pl.when(((i + 1) & 1) == wb)
+                def _(wb=wb):
+                    for cc in range(n_cells):
+                        @pl.when(cell == cc)
+                        def _(cc=cc, wb=wb):
+                            for q in range(n_units):
+                                if unit_cell[q] == cc:
+                                    run_unit(q, digs[wb])
+
+        # ---- MXU: all limbs for output poly u: chunk dots -> ring fold ->
+        # 64-bit limb recombination (static shifts) -> accumulator add ----
+        # (skip_vpu probe: also drops the rb predication so the dot
+        # schedule can be timed without the duplicated predicated bodies)
+        for rb in ((0,) if skip_vpu else (0, 1)):
+            @pl.when(((i & 1) == rb) if not skip_vpu else (i >= 0))
+            def _(rb=rb):
+                zlo = zhi = None
+                for li in range(L):
+                    ring_ref[:, :] = jnp.zeros(ring_ref.shape, jnp.int32)
+                    for c in range(C):
+                        y = None
+                        for p in range(P):
+                            xs = digs[rb][:, pl.ds((c * P + p) * ckp, Jm)]
+                            yp = jnp.dot(xs, w_ref[li],
+                                         preferred_element_type=jnp.int32)
+                            yp = (yp << (7 * p)) if p else yp
+                            y = yp if y is None else y + yp
+                        ring_ref[:, pl.ds(c * m, Npm)] += y
+                    f = ring_ref[:, pl.ds(0, N)] - ring_ref[:, pl.ds(N, N)]
+                    # (plo, phi) = f << (8*li + key_shift) as a 64-bit pair
+                    s = 8 * li + key_shift
+                    if s == 0:
+                        plo, phi = f, f >> 31
+                    elif s < 32:
+                        plo, phi = f << s, f >> (32 - s)
+                    elif s == 32:
+                        plo, phi = jnp.zeros_like(f), f
+                    else:
+                        plo, phi = jnp.zeros_like(f), f << (s - 32)
+                    if zlo is None:
+                        zlo, zhi = plo, phi
+                    else:
+                        nlo = zlo + plo
+                        carry = (nlo.astype(jnp.uint32)
+                                 < plo.astype(jnp.uint32)).astype(jnp.int32)
+                        zlo, zhi = nlo, zhi + phi + carry
+                alo, ahi = alo_ref[:], ahi_ref[:]
+                nlo = alo + zlo
+                carry = (nlo.astype(jnp.uint32)
+                         < alo.astype(jnp.uint32)).astype(jnp.int32)
+                olo_ref[:, :] = nlo
+                ohi_ref[:, :] = ahi + zhi + carry
+    return kernel
+
+
+def ck_cmux_step64(a, lo_flat, hi_flat, wm, *, l: int, bgbit: int,
+                   offset: int, key_shift: int = 0, m: int = 64,
+                   planes: int = 1, tm: int = 128,
+                   kp1: int = 2, _skip_vpu: bool = False,
+                   interpret: bool = False):
+    """One 64-bit blind-rotation step, fully fused, chunked pre-shifted keys:
+
+        (lo', hi') = (lo, hi) + recombine64(decompose64((X^a - 1)*acc) @ wm)
+
+    a:               (B,) int32 exponents in [0, 2N)
+    lo_flat/hi_flat: (B, kp1*N) int32 — the FLAT i64pair accumulator
+    wm:              (kp1*L, J*m, N+m) int8 (ChunkedEngine.prepare, rows
+                     (u, limb)-major; the whole (L, Jm, Npm) block of one
+                     output poly is VMEM-resident, which needs the raised
+                     VMEM_LIMIT — ~8 MB at CB_MXU)
+    Returns (lo', hi') with the same flat layout.
+    """
+    B = lo_flat.shape[0]
+    N = lo_flat.shape[1] // kp1
+    UL, Jm, Npm = wm.shape
+    L = UL // kp1
+    assert Jm == kp1 * l * m and Npm == N + m
+    assert B % tm == 0 and N % m == 0
+    assert planes in (1, 2)
+    C = N // m
+    nb = B // tm
+    ckp = -(-Jm // 128) * 128
+    a2 = a.astype(jnp.int32)[:, None]
+    outs = pl.pallas_call(
+        _ck_cmux64_kernel(N, m, C, kp1, l, L, planes, bgbit, offset,
+                          key_shift, nb, skip_vpu=_skip_vpu),
+        grid=(nb, kp1),
+        in_specs=[  # i - i: typed zero (literal 0 is i64 under x64)
+            pl.BlockSpec((tm, 1), lambda i, u: (i, i - i)),
+            pl.BlockSpec((tm, 1), lambda i, u: (jnp.minimum(i + 1, nb - 1), i - i)),
+            pl.BlockSpec((tm, N), lambda i, u: (i, u)),
+            pl.BlockSpec((tm, N), lambda i, u: (i, u)),
+            pl.BlockSpec((tm, kp1 * N), lambda i, u: (i, i - i)),
+            pl.BlockSpec((tm, kp1 * N), lambda i, u: (i, i - i)),
+            pl.BlockSpec((tm, kp1 * N), lambda i, u: (jnp.minimum(i + 1, nb - 1), i - i)),
+            pl.BlockSpec((tm, kp1 * N), lambda i, u: (jnp.minimum(i + 1, nb - 1), i - i)),
+            pl.BlockSpec((L, Jm, Npm), lambda i, u: (u, i - i, i - i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((tm, N), lambda i, u: (i, u)),
+            pl.BlockSpec((tm, N), lambda i, u: (i, u)),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((B, kp1 * N), jnp.int32),
+                   jax.ShapeDtypeStruct((B, kp1 * N), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((tm, N), jnp.int32),          # rot lo
+            pltpu.VMEM((tm, N), jnp.int32),          # rot hi
+            pltpu.VMEM((tm, N), jnp.int32),          # orig lo
+            pltpu.VMEM((tm, N), jnp.int32),          # orig hi
+            pltpu.VMEM((tm, 1), jnp.int32),          # arot
+            pltpu.VMEM((tm, C * planes * ckp), jnp.int8),   # dig ping
+            pltpu.VMEM((tm, C * planes * ckp), jnp.int8),   # dig pong
+            pltpu.VMEM((tm, 2 * N), jnp.int32),      # ring accumulator
+        ],
+        compiler_params=_cparams("arbitrary", "arbitrary"),
+        interpret=interpret,
+    )(a2, a2, lo_flat, hi_flat, lo_flat, hi_flat, lo_flat, hi_flat, wm)
+    return outs[0], outs[1]
+
+
 def _mm_recombine_kernel(L, shift_base, nk):
     def kernel(x_ref, w_ref, accin_ref, out_ref, scratch):
         k = pl.program_id(2)
