@@ -57,6 +57,33 @@ def blind_rotate(acc, bk_prepared, abar, p: TGswParams, backend: str = "matmul",
     if (p.tlwe.bits == 64 and hasattr(eng, "cmux_pair_step")
             and jax.default_backend() == "tpu"):
         from tfhe_tpu.ops import i64pair
+        import os as _os
+
+        # Fully fused single-kernel step (TFHE_CK64_FUSED=1): FLAT pair
+        # carry, rotation pipelined under the dots.  Kept opt-in until the
+        # scan-level benchmark beats the two-kernel path (the per-kernel
+        # timings on the shared dev chip swing +-30%, so only same-process
+        # full-scan numbers decide — tools/bench_cb_paths.py).
+        if _os.environ.get("TFHE_CK64_FUSED", "") not in ("", "0") \
+                and hasattr(eng, "cmux_pair_step_flat"):
+            B, kp1, N = acc.shape
+            lo, hi = i64pair.from_i64(acc.reshape(B, kp1 * N))
+            probe = eng.cmux_pair_step_flat(
+                abar[:, 0], lo, hi,
+                jax.tree_util.tree_map(lambda v: v[0], bk_prepared),
+                kp1=kp1, l=p.l, bgbit=p.bgbit, offset=p.offset)
+            if probe is not None:
+                def stepf(carry, xs):
+                    prep_i, a_i = xs
+                    out = eng.cmux_pair_step_flat(
+                        a_i, carry[0], carry[1], prep_i, kp1=kp1, l=p.l,
+                        bgbit=p.bgbit, offset=p.offset)
+                    return out, None
+                carry, _ = lax.scan(stepf, (lo, hi),
+                                    (bk_prepared,
+                                     jnp.moveaxis(abar, -1, 0)),
+                                    unroll=unroll)
+                return i64pair.to_i64(*carry).reshape(B, kp1, N)
         # U-major carry layout (k+1, B, N): the rotate kernel serves one u
         # per grid cell and the limb-recombination epilogue needs no
         # transpose; converted back once after the scan.

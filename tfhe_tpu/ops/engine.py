@@ -616,6 +616,30 @@ class ChunkedEngine(_EngineBase):
                         else i64pair.add(zlo, zhi, plo, phi))
         return i64pair.add(lo, hi, zlo, zhi)
 
+    def cmux_pair_step_flat(self, a, lo_flat, hi_flat, prepared, *,
+                            kp1: int, l: int, bgbit: int, offset: int,
+                            tm: int = 128):
+        """Fully fused 64-bit step on the FLAT (B, (k+1)*N) pair layout
+        (pallas_kernels.ck_cmux_step64: rotation pipelined under the dots,
+        in-kernel 64-bit limb recombination).  Returns (lo', hi') or None
+        when ineligible."""
+        import jax as _jax
+        if _jax.default_backend() != "tpu" or self.cfg.out_bits != 64:
+            return None
+        cfg = self.cfg
+        pb, P = cfg.plane_split
+        if P not in (1, 2):
+            return None
+        B = lo_flat.shape[0]
+        tm_fit = B & -B if B & -B <= tm else tm
+        if tm_fit < 8:
+            return None
+        from tfhe_tpu.ops.pallas_kernels import ck_cmux_step64
+        return ck_cmux_step64(a, lo_flat, hi_flat, prepared["wm"], l=l,
+                              bgbit=bgbit, offset=offset,
+                              key_shift=cfg.key_shift, m=self.m, planes=P,
+                              tm=min(tm, tm_fit), kp1=kp1)
+
 
 def make_engine(cfg: EngineConfig, backend: str = "matmul"):
     if backend == "nussbaumer":

@@ -1012,24 +1012,41 @@ def ck_cmux_step32(a, acc, wm, *, l: int, bgbit: int, offset: int,
 
 
 # ---------------------------------------------------------------------------
-# Fully fused 64-bit chunked CMux step (VERDICT r3 item 2).
+# Fully fused 64-bit chunked CMux step (VERDICT r3 item 2) — built, bit-
+# identical, and MEASURED SLOWER than the two-kernel path; kept OPT-IN
+# (TFHE_CK64_FUSED) with the facts recorded for the next attempt.
 #
 # Round-3 shipped the 64-bit step as TWO kernels (rotate_decompose64_ck then
 # ck_dot64p) plus an XLA pair-recombination epilogue; measured at CB_MXU
 # B=256 (tools/profile_step64.py): rotate 208 us + dots 627 us + epilogue
-# 59 us, executed SERIALLY by the TensorCore (875 us total).  This kernel
-# ports the ck_cmux_step32 schedule to the (lo, hi) int32 pair
-# representation: grid (i, u, t) = (batch tile, output poly, limb group),
-# each cell dots its limb group's chunks while the rotation/decomposition
-# pipeline of the NEXT batch tile runs spread one-or-more units per cell
-# into ping-pong digit buffers, and the 64-bit limb recombination
-# accumulates across the t cells in (zlo, zhi) scratch with explicit
-# carries — no intermediate (UL, B, N) int32 array ever touches HBM.
+# 59 us, executed SERIALLY by the TensorCore.  This kernel ports the
+# ck_cmux_step32 schedule to the (lo, hi) int32 pair representation: grid
+# (i, u) = (batch tile, output poly); each cell dots ALL limb groups of
+# poly u (the whole (L, Jm, Npm) W block is VMEM-resident under the raised
+# VMEM_LIMIT) while the rotation/decomposition pipeline of the NEXT batch
+# tile runs spread over the cells into ping-pong digit buffers; the 64-bit
+# limb recombination (static shifts + explicit carries) happens in-cell, so
+# no (UL, B, N) int32 intermediate ever touches HBM.  The pair carry is
+# FLAT (B, kp1*N) (not the two-kernel path's U-major (kp1, B, N)), so no
+# transpose exists anywhere in the scan.
 #
-# The pair carry is FLAT (B, kp1*N) here (not the two-kernel path's
-# U-major (kp1, B, N)): the epilogue add reads per-poly (tm, N) blocks at
-# (i, u) and the rotation seeds read the full-width next-tile block at
-# (i+1, 0), so no transpose exists anywhere in the scan.
+# Scan-level measurement (tools/bench_cb_paths.py, SAME process, 500-step
+# scan, CB_MXU/B=256, outputs bit-identical): two-kernel 973 us/step,
+# fused 1155-1160 us/step (0.84x) — REPRODUCED after slimming the input
+# streams, so the gap is the kernel schedule itself.  Facts for a future
+# attempt:
+#   * the dot schedule alone (_skip_vpu, predication removed) measured
+#     1031-1111 us vs ck_dot64p's 627-1098 across sessions — but a minimal
+#     morph of ck_dot64p with scratch digits + in-kernel pair recombination
+#     (tools/bisect_ck64.py v2) measured FASTER than plain ck_dot64p in its
+#     own session (885 vs 1098); cross-session variance on the shared dev
+#     chip is +-30%, so only same-process numbers were trusted;
+#   * the VPU pipeline adds ~100-200 us NON-overlapped (the ck32 finding —
+#     Mosaic keeps the up-front predicated VPU block serial — recurs here);
+#   * dynamic lane-offset VMEM access does not lower (so the digit
+#     ping-pong cannot avoid rb-predicated dot bodies);
+#   * the rb predication doubles 192-dot bodies; ck_dot64p lg=6 shows 192
+#     unpredicated dots per cell are fine.
 # ---------------------------------------------------------------------------
 
 
@@ -1049,7 +1066,7 @@ def _ck_cmux64_kernel(N, m, C, kp1, l, L, P, bgbit, offset, key_shift,
     unit_cell = [min(q * n_cells // n_units, n_cells - 1)
                  for q in range(n_units)]
 
-    def kernel(acur_ref, anext_ref, alo_ref, ahi_ref, clo_ref, chi_ref,
+    def kernel(acur_ref, anext_ref, clo_ref, chi_ref,
                nlo_ref, nhi_ref, w_ref, olo_ref, ohi_ref, rlo_ref, rhi_ref,
                glo_ref, ghi_ref, arot_ref, dig0_ref, dig1_ref, ring_ref):
         i = pl.program_id(0)
@@ -1189,12 +1206,16 @@ def _ck_cmux64_kernel(N, m, C, kp1, l, L, P, bgbit, offset, key_shift,
                         carry = (nlo.astype(jnp.uint32)
                                  < plo.astype(jnp.uint32)).astype(jnp.int32)
                         zlo, zhi = nlo, zhi + phi + carry
-                alo, ahi = alo_ref[:], ahi_ref[:]
-                nlo = alo + zlo
-                carry = (nlo.astype(jnp.uint32)
-                         < alo.astype(jnp.uint32)).astype(jnp.int32)
-                olo_ref[:, :] = nlo
-                ohi_ref[:, :] = ahi + zhi + carry
+                for uu in range(kp1):
+                    @pl.when(u == uu)
+                    def _(uu=uu, zlo=zlo, zhi=zhi):
+                        alo = clo_ref[:, pl.ds(uu * N, N)]
+                        ahi = chi_ref[:, pl.ds(uu * N, N)]
+                        nlo = alo + zlo
+                        carry = (nlo.astype(jnp.uint32)
+                                 < alo.astype(jnp.uint32)).astype(jnp.int32)
+                        olo_ref[:, :] = nlo
+                        ohi_ref[:, :] = ahi + zhi + carry
     return kernel
 
 
@@ -1233,8 +1254,6 @@ def ck_cmux_step64(a, lo_flat, hi_flat, wm, *, l: int, bgbit: int,
         in_specs=[  # i - i: typed zero (literal 0 is i64 under x64)
             pl.BlockSpec((tm, 1), lambda i, u: (i, i - i)),
             pl.BlockSpec((tm, 1), lambda i, u: (jnp.minimum(i + 1, nb - 1), i - i)),
-            pl.BlockSpec((tm, N), lambda i, u: (i, u)),
-            pl.BlockSpec((tm, N), lambda i, u: (i, u)),
             pl.BlockSpec((tm, kp1 * N), lambda i, u: (i, i - i)),
             pl.BlockSpec((tm, kp1 * N), lambda i, u: (i, i - i)),
             pl.BlockSpec((tm, kp1 * N), lambda i, u: (jnp.minimum(i + 1, nb - 1), i - i)),
@@ -1259,7 +1278,7 @@ def ck_cmux_step64(a, lo_flat, hi_flat, wm, *, l: int, bgbit: int,
         ],
         compiler_params=_cparams("arbitrary", "arbitrary"),
         interpret=interpret,
-    )(a2, a2, lo_flat, hi_flat, lo_flat, hi_flat, lo_flat, hi_flat, wm)
+    )(a2, a2, lo_flat, hi_flat, lo_flat, hi_flat, wm)
     return outs[0], outs[1]
 
 

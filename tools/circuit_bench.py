@@ -94,6 +94,7 @@ result = {
     "gate_bootstraps_per_sec": round(B * n_gates / best, 1),
     "wall_s": round(best, 3),
     "waves": rep["counters"].get("circuit.waves", 0) // max(1, REPS + 1),
+    "wave_compiles": rep["counters"].get("circuit.wave_compiles", 0),
     "params": os.environ.get("ADD_PARAMS", "fast2"),
     "backend": backend,
     "device": str(dev),
