@@ -59,9 +59,14 @@ def _decode(skel, z, device):
     return jax.device_put(arr, device) if device is not None else arr
 
 
-def save_keydata(path: str, key_data, params=None, meta: dict | None = None):
+def save_keydata(path: str, key_data, params=None, meta: dict | None = None,
+                 compress: bool = True):
     """Serialize a key pytree (e.g. CloudKey.data: nested dict/list/tuple of
-    arrays) with its parameter dataclasses."""
+    arrays) with its parameter dataclasses.
+
+    compress=False skips zlib: encrypted key material is uniformly random
+    (incompressible), and compressing a multi-GB circuit key measured
+    ~400 s on a 2-core host vs seconds of raw IO."""
     arrays: dict[str, np.ndarray] = {}
     skel = _encode(key_data, arrays)
     header = {
@@ -70,9 +75,9 @@ def save_keydata(path: str, key_data, params=None, meta: dict | None = None):
         "meta": meta or {},
         "version": 1,
     }
-    np.savez_compressed(
-        path, __header__=np.frombuffer(json.dumps(header).encode(), np.uint8),
-        **arrays)
+    savez = np.savez_compressed if compress else np.savez
+    savez(path, __header__=np.frombuffer(json.dumps(header).encode(),
+                                         np.uint8), **arrays)
     return path
 
 
@@ -102,7 +107,8 @@ def save_circuit_key(path: str, ck):
         "privks": np.asarray(ck.privks.w_limbs),
         "bk_raw": np.asarray(ck.bk_raw),
     }, params=ck.params, meta={"backend": ck.backend,
-                               "format": "circuit_raw_bk", "version": 1})
+                               "format": "circuit_raw_bk", "version": 1},
+        compress=False)
 
 
 def load_circuit_key(path: str, backend: str | None = None, device=None):
