@@ -15,6 +15,15 @@ history — so the chooser returns None and dispatch falls through to the
 chunked kernel); ck_cmux_step32 fits N=1024 at tm=128 (1124 us/step,
 measured fastest) but not tm=256 (measured 1984 us); ck_dot64p fits
 CB_MXU at tm=128/lgsize=1 (measured fastest) but not tm=256.
+
+Round-4 re-validation: the 16 MB Mosaic scoped-VMEM cap turned out to be
+SOFT (pallas_kernels.VMEM_LIMIT raises it to 64 MB), so every rejected
+point was re-measured with the cap raised (tools/vmem_retune.py):
+ck32 N=1024 tm=256/512 are still 2x slower than tm=128 (2057/2017 vs
+1035 us), fused_v2 N=1024 still starves (1944 us at tm=128), and
+ck_dot64p tm=256 is within noise of tm=128.  The budget below therefore
+still encodes the PERFORMANCE frontier, not an allocation limit — do not
+raise it without fresh same-process measurements.
 """
 
 from __future__ import annotations

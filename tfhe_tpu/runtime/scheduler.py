@@ -221,15 +221,27 @@ def evaluate(circ: Circuit, inputs, ck_data, params, outputs,
                 x = jnp.stack([fetch(g[2]) for g in gates])
                 y = jnp.stack([fetch(g[3]) for g in gates])
                 res = run(kind, gate.gate_mux, c, x, y)
+                for i, g in enumerate(gates):
+                    store[g[4]] = res[i]
             else:
-                a = jnp.stack([fetch(g[1]) for g in gates])
-                b = jnp.stack([fetch(g[2]) for g in gates])
-                c0 = np.array([_AFFINE[g[0]][0] for g in gates], np.int32)
-                wx = np.array([_AFFINE[g[0]][1] for g in gates], np.int32)
-                wy = np.array([_AFFINE[g[0]][2] for g in gates], np.int32)
-                res = run_binary(a, b, c0, wx, wy)
-            for i, g in enumerate(gates):
-                store[g[4]] = res[i]
+                # diagnostic knob: TFHE_WAVE_SPLIT=1 launches per kind
+                # (the pre-round-4 behavior) for A/B measurement
+                if os.environ.get("TFHE_WAVE_SPLIT", "") not in ("", "0"):
+                    groups = {}
+                    for g in gates:
+                        groups.setdefault(g[0], []).append(g)
+                    groups = list(groups.values())
+                else:
+                    groups = [gates]
+                for grp in groups:
+                    a = jnp.stack([fetch(g[1]) for g in grp])
+                    b = jnp.stack([fetch(g[2]) for g in grp])
+                    c0 = np.array([_AFFINE[g[0]][0] for g in grp], np.int32)
+                    wx = np.array([_AFFINE[g[0]][1] for g in grp], np.int32)
+                    wy = np.array([_AFFINE[g[0]][2] for g in grp], np.int32)
+                    res = run_binary(a, b, c0, wx, wy)
+                    for i, g in enumerate(grp):
+                        store[g[4]] = res[i]
 
     outs = []
     for w in outputs:
