@@ -233,6 +233,19 @@ def evaluate(circ: Circuit, inputs, ck_data, params, outputs,
                     groups = list(groups.values())
                 else:
                     groups = [gates]
+                # cap launch width: a wide level (e.g. a 32-bit adder's
+                # level 0 = 64 gates) x the instance batch can exceed HBM —
+                # the keyswitch one-hot temporaries cost ~32 KB/ct, so a
+                # 262k-row launch wants 8+ GB.  Split to <= max_rows.
+                # Default 8192 = the measured v5e throughput knee: capping
+                # every launch AT the knee measured 8,268 gate-bootstraps/s
+                # on 8192-instance 32-bit adders vs 7,137 at a 16384 cap
+                # (bench_results/circuit_adder32_r4 A/B).
+                max_rows = int(os.environ.get("TFHE_MAX_WAVE_ROWS", 8192))
+                inst = int(np.prod(lead)) or 1
+                per = max(1, max_rows // inst)
+                groups = [grp[i:i + per] for grp in groups
+                          for i in range(0, len(grp), per)]
                 for grp in groups:
                     a = jnp.stack([fetch(g[1]) for g in grp])
                     b = jnp.stack([fetch(g[2]) for g in grp])
