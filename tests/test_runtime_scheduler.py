@@ -111,3 +111,29 @@ def test_observability_records_waves():
     assert rep["counters"].get("circuit.wave_compiles", 0) <= 1
     assert "circuit.wave.binary" in rep["spans"]
     assert rep["observations"]["circuit.wave_width"]["max"] == 2.0
+
+
+def test_wave_width_capping(monkeypatch):
+    """TFHE_MAX_WAVE_ROWS splits wide merged waves into capped launches
+    without changing results (the HBM guard for wide levels)."""
+    import jax.numpy as jnp
+    from tfhe_tpu.runtime import Circuit, evaluate
+    p = GATE_TOY
+    rng = TfheRng(19)
+    sk = gate.SecretKey.generate(p, rng)
+    ck = gate.CloudKey.generate(sk, rng, backend="onthefly")
+    W = 4
+    circ = Circuit(2 * W)
+    outs = [circ.xor(i, W + i) for i in range(W)] \
+        + [circ.and_(i, W + i) for i in range(W)]     # one wide level
+    r = np.random.default_rng(3)
+    bits = r.integers(0, 2, 2 * W).astype(bool)
+    ct = gate.encrypt_bool(sk, bits, rng)
+    want = np.concatenate([bits[:W] ^ bits[W:], bits[:W] & bits[W:]])
+
+    for cap in ("1", "3", "1000000"):
+        monkeypatch.setenv("TFHE_MAX_WAVE_ROWS", cap)
+        out = evaluate(circ, jnp.asarray(ct), ck.data, p, outs,
+                       backend="onthefly")
+        got = np.asarray(gate.decrypt_bool(sk, out))
+        np.testing.assert_array_equal(got, want, err_msg=f"cap={cap}")

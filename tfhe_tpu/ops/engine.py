@@ -589,11 +589,16 @@ class ChunkedEngine(_EngineBase):
         x = rotate_decompose64_ck(a, lo, hi, l=l, bgbit=bgbit, offset=offset,
                                    m=m, planes=P)
         if lgsize is None:
-            # measured per-dot: single-plane (CB_MXU) lg=1 818 us < lg=2
-            # 933 us; two-plane (CB_ACTIVE) lg=2 7.65 ms/ct < lg=1 8.05 —
-            # with P=2 each W block amortizes over twice the dots, so the
-            # bigger block wins there.
-            lgsize = 2 if (P == 2 and UL % 2 == 0) else 1
+            import os as _os
+            env = _os.environ.get("TFHE_CK64_LG", "")
+            if env and UL % int(env) == 0:
+                lgsize = int(env)           # measurement override
+            else:
+                # measured per-dot: single-plane (CB_MXU) lg=1 818 us < lg=2
+                # 933 us; two-plane (CB_ACTIVE) lg=2 7.65 ms/ct < lg=1 8.05 —
+                # with P=2 each W block amortizes over twice the dots, so the
+                # bigger block wins there.
+                lgsize = 2 if (P == 2 and UL % 2 == 0) else 1
         from tfhe_tpu.ops import tiles
         tm_fit = tiles.choose_ck64_tm(N, kp1, l, P, m, lgsize, B)
         if tm_fit is None:
