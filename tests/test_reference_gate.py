@@ -82,6 +82,71 @@ def test_keyswitch_bit_exact(pipeline):
     np.testing.assert_array_equal(ours, y_ref)
 
 
+FIX_FFT = pathlib.Path(__file__).parent / "fixtures" / "ref_gate_fft"
+
+
+@pytest.fixture(scope="module")
+def fix_fft():
+    if not (FIX_FFT / "gate_y3.i32").exists():
+        FIX_FFT.mkdir(parents=True, exist_ok=True)
+        subprocess.run(["make", "-C", str(NATIVE), "ref_dump_gate_fft"],
+                       check=True, capture_output=True)
+        subprocess.run([str(NATIVE / "ref_dump_gate_fft"), str(FIX_FFT)],
+                       check=True, capture_output=True)
+    return FIX_FFT
+
+
+def _phase32(c, s):
+    """Signed torus32 phase b - a.s of an int32 LWE sample."""
+    v = (int(c[-1]) - int((c[:-1].astype(np.int64) * s).sum())) & 0xFFFFFFFF
+    return v - (1 << 32) if v >= (1 << 31) else v
+
+
+def _tdist32(a, b):
+    """Torus distance |a - b| with mod-2^32 wrap."""
+    return abs((a - b + (1 << 31)) % (1 << 32) - (1 << 31))
+
+
+def test_gate_fft_build_envelope(fix, fix_fft):
+    """vs the spqlios double-FFT build — the reference's PRODUCTION gate
+    path (lwe_functions.cpp:434-446, fft_processor_spqlios.cpp:105-156).
+
+    Keygen draws no randomness through the Lagrange layer, so key material
+    and inputs are byte-identical between the exact and FFT builds (asserted
+    below); the bootstrap outputs then differ only by the two builds'
+    rounding-noise realizations.  As in the CB anchor
+    (test_reference_e2e.py:198-207) raw ciphertext coefficients diverge
+    chaotically (different decomposition digits select different bk rows —
+    measured ~2^32, i.e. full scale) while the PHASE stays within the gate
+    noise envelope: measured ≤2^24.3 on the torus32 scale for both the
+    woKS output u (ring key) and the composed output y (LWE key), vs the
+    2^29 message amplitude.  Assert at 2^25.5 — ~2.3x the measured max, so
+    a real envelope regression fails instead of hiding under a loose bound.
+
+    The repo pipeline equals the exact build bit-for-bit (tests above), so
+    by transitivity it sits inside the same envelope of the production FFT
+    reference."""
+    for f in (["gate_lwe_key.i32", "gate_ring_key.i32", "gate_bk.i32",
+               "gate_ks.i32"] + [f"gate_x{i}.i32" for i in range(4)]):
+        np.testing.assert_array_equal(i32(fix, f), i32(fix_fft, f),
+                                      err_msg=f"{f} differs between builds")
+    sk_lwe = i32(fix, "gate_lwe_key.i32").astype(np.int64)
+    sk_ring = i32(fix, "gate_ring_key.i32").astype(np.int64)
+    bound = 1 << 25
+    bound += bound >> 1                                   # 2^25.5
+    for i in range(4):
+        du = _tdist32(_phase32(i32(fix, f"gate_u{i}.i32"), sk_ring),
+                      _phase32(i32(fix_fft, f"gate_u{i}.i32"), sk_ring))
+        dy = _tdist32(_phase32(i32(fix, f"gate_y{i}.i32"), sk_lwe),
+                      _phase32(i32(fix_fft, f"gate_y{i}.i32"), sk_lwe))
+        assert du < bound, (i, hex(du))
+        assert dy < bound, (i, hex(dy))
+        # and both builds decrypt to the same bit
+        pe = _phase32(i32(fix, f"gate_y{i}.i32"), sk_lwe)
+        pf = _phase32(i32(fix_fft, f"gate_y{i}.i32"), sk_lwe)
+        assert (pe > 0) == (pf > 0)
+
+
 def test_bootstrap_composed_bit_exact(pipeline):
     """The full composition == tfhe_bootstrap_FFT, and decrypts right."""
     prep, ksk, x, u_ref, y_ref = pipeline

@@ -85,13 +85,7 @@ class PrivKeySwitchKey:
         ks = p.ks21
         n2, N1, k = p.n_lvl2, p.n_lvl1, p.lvl1.k
         base = ks.base
-        key2ext = np.concatenate([sk.ring_lvl2.key.reshape(-1),
-                                  np.array([-1], np.int32)])      # (n2+1,)
-        shifts = np.array([32 - (j + 1) * ks.basebit for j in range(ks.t)])
-        # mess[i, j, v] = (key2ext[i] << shift_j) * v  (int32 wrap)
-        mess = (key2ext[:, None, None].astype(np.int64)
-                << shifts[None, :, None]) * np.arange(base)[None, None, :]
-        mess = mess.astype(np.uint64).astype(np.uint32).astype(np.int32)
+        mess = _privks_message_table(sk)
         if jax.default_backend() == "tpu" and not rng.false_random:
             return _privks_generate_device(sk, rng, jnp.asarray(mess))
         ws = []
@@ -103,6 +97,20 @@ class PrivKeySwitchKey:
             w = c.reshape((n2 + 1) * ks.t * base, (k + 1) * N1)
             ws.append(T.balanced_limbs(jnp.asarray(w), 4, 8))
         return PrivKeySwitchKey(ks, n2, k, N1, jnp.stack(ws, axis=0))
+
+
+def _privks_message_table(sk: CircuitSecretKey) -> np.ndarray:
+    """mess[i, j, v] = (key2ext[i] << shift_j) * v on the torus32, where
+    key2ext = [s2, -1] (the -1 extension makes the body row a plain digit
+    loop entry, poc:367) and shift_j = 32-(j+1)*basebit (poc:405-419)."""
+    p = sk.params
+    ks = p.ks21
+    key2ext = np.concatenate([sk.ring_lvl2.key.reshape(-1),
+                              np.array([-1], np.int32)])      # (n2+1,)
+    shifts = np.array([32 - (j + 1) * ks.basebit for j in range(ks.t)])
+    mess = (key2ext[:, None, None].astype(np.int64)
+            << shifts[None, :, None]) * np.arange(ks.base)[None, None, :]
+    return mess.astype(np.uint64).astype(np.uint32).astype(np.int32)
 
 
 def _privks_generate_device(sk: CircuitSecretKey, rng: TfheRng,
