@@ -137,3 +137,38 @@ def test_wave_width_capping(monkeypatch):
                        backend="onthefly")
         got = np.asarray(gate.decrypt_bool(sk, out))
         np.testing.assert_array_equal(got, want, err_msg=f"cap={cap}")
+
+
+def test_homomorphic_comparator_matches_plain(monkeypatch):
+    """The MUX-bearing comparator tree (VERDICT r4 item 6): batched
+    instances, mixed XNOR/AND level-0 wave, alternating AND/MUX merge
+    levels, with the MUX launch-width cap engaged (TFHE_MAX_WAVE_ROWS
+    small enough that the 4-wide mux wave x 6 instances splits)."""
+    from tfhe_tpu.runtime import Circuit, evaluate
+    from tfhe_tpu.runtime import scheduler
+    monkeypatch.setenv("TFHE_MAX_WAVE_ROWS", "36")   # 36//(3*6)=2 muxes/launch
+    p = GATE_TOY
+    rng = TfheRng(11)
+    sk = gate.SecretKey.generate(p, rng)
+    ck = gate.CloudKey.generate(sk, rng, backend="onthefly")
+
+    W = 8
+    circ, outs = scheduler.comparator(W)
+    kinds = [k for k, _ in circ.schedule()]
+    assert "mux" in kinds, kinds                      # it IS mux-bearing
+
+    xs = np.array([3, 200, 77, 0, 255, 128], np.uint32)
+    ys = np.array([5, 200, 13, 0, 0, 127], np.uint32)
+    B = len(xs)
+    bits = np.zeros((2 * W, B), bool)
+    for i in range(W):
+        bits[i] = (xs >> i) & 1
+        bits[W + i] = (ys >> i) & 1
+    cts = np.stack([np.asarray(gate.encrypt_bool(sk, bits[w], rng))
+                    for w in range(2 * W)])           # (2W, B, n+1)
+    out = evaluate(circ, cts, ck.data, p, outs, backend="onthefly")
+    dec = np.stack([np.asarray(gate.decrypt_bool(sk, out[:, b]))
+                    for b in range(B)])               # (B, 3) lt/eq/gt
+    np.testing.assert_array_equal(dec[:, 0], xs < ys)
+    np.testing.assert_array_equal(dec[:, 1], xs == ys)
+    np.testing.assert_array_equal(dec[:, 2], xs > ys)

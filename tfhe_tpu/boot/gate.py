@@ -246,10 +246,13 @@ def gate_oryn(ck_data, x, y, params, backend="matmul"):
 
 def gate_mux(ck_data, c, x, y, params, backend="matmul"):
     """MUX(c, x, y) = c ? x : y via two bootstraps + keyswitched sum
-    (upstream bootsMUX structure)."""
-    u1 = bootstrap(_trivial(-MU_BOOL, params.lwe.n) + c + x, ck_data, params,
-                   MU_BOOL, backend)
-    u2 = bootstrap(_trivial(-MU_BOOL, params.lwe.n) - c + y, ck_data, params,
-                   MU_BOOL, backend)
-    t = u1 + u2 + _trivial(MU_BOOL, params.lwe.n)
+    (upstream bootsMUX structure).  The two first-stage bootstraps are
+    independent, so they run as ONE double-width launch — one blind-
+    rotation scan instead of two (a mux wave costs 2 launches, not 3)."""
+    t1 = _trivial(-MU_BOOL, params.lwe.n) + c + x
+    t2 = _trivial(-MU_BOOL, params.lwe.n) - c + y
+    tt = jnp.stack([t1, t2])
+    u = bootstrap(tt.reshape(-1, tt.shape[-1]), ck_data, params, MU_BOOL,
+                  backend).reshape(tt.shape)
+    t = u[0] + u[1] + _trivial(MU_BOOL, params.lwe.n)
     return bootstrap(t, ck_data, params, MU_BOOL, backend)

@@ -594,11 +594,14 @@ class ChunkedEngine(_EngineBase):
             if env and UL % int(env) == 0:
                 lgsize = int(env)           # measurement override
             else:
-                # measured per-dot: single-plane (CB_MXU) lg=1 818 us < lg=2
-                # 933 us; two-plane (CB_ACTIVE) lg=2 7.65 ms/ct < lg=1 8.05 —
-                # with P=2 each W block amortizes over twice the dots, so the
-                # bigger block wins there.
-                lgsize = 2 if (P == 2 and UL % 2 == 0) else 1
+                # lg=1 everywhere.  The round-3 cross-session numbers that
+                # put lg=2 ahead for two-plane blocks (7.65 vs 8.05 ms/ct)
+                # did not survive a same-process interleaved A/B: at
+                # CB_ACTIVE/B=256, (vmem 16|64 MB) x (lg 1|2) measured
+                # lg1 8.08/8.14 vs lg2 9.48/9.52 ms/ct, +-0.3% within
+                # config (bench_results/cb_active_ab_r5.json) — the r4
+                # "regression" was this default, not the raised VMEM cap.
+                lgsize = 1
         from tfhe_tpu.ops import tiles
         tm_fit = tiles.choose_ck64_tm(N, kp1, l, P, m, lgsize, B)
         if tm_fit is None:

@@ -180,9 +180,11 @@ def evaluate(circ: Circuit, inputs, ck_data, params, outputs,
             obs.count("circuit.wave_compiles")
         # bootstrap.* counters fire here (the un-jitted boundary), since
         # gate.bootstrap's own counts only run at trace time under jit
-        nboots = 3 if kind == "mux" else 1
-        obs.count("bootstrap.launches", nboots)
-        obs.count("bootstrap.ciphertexts", nboots * flat[0].shape[0])
+        # mux = 2 launches (double-width first stage + recombine stage)
+        # bootstrapping 3 ciphertext-widths per gate
+        obs.count("bootstrap.launches", 2 if kind == "mux" else 1)
+        obs.count("bootstrap.ciphertexts",
+                  (3 if kind == "mux" else 1) * flat[0].shape[0])
         res = _WAVE_JIT[key](ck_data, *flat)
         return res.reshape(ops[0].shape)
 
@@ -217,12 +219,19 @@ def evaluate(circ: Circuit, inputs, ck_data, params, outputs,
                     else len(gates))
         with obs.span(f"circuit.wave.{kind}"):
             if kind == "mux":
-                c = jnp.stack([fetch(g[1]) for g in gates])
-                x = jnp.stack([fetch(g[2]) for g in gates])
-                y = jnp.stack([fetch(g[3]) for g in gates])
-                res = run(kind, gate.gate_mux, c, x, y)
-                for i, g in enumerate(gates):
-                    store[g[4]] = res[i]
+                # same launch-width cap as binary waves: each MUX costs 3
+                # bootstraps, so cap at max_rows/3 mux gates x instances
+                max_rows = int(os.environ.get("TFHE_MAX_WAVE_ROWS", 8192))
+                inst = int(np.prod(lead)) or 1
+                per = max(1, max_rows // (3 * inst))
+                for s in range(0, len(gates), per):
+                    grp = gates[s:s + per]
+                    c = jnp.stack([fetch(g[1]) for g in grp])
+                    x = jnp.stack([fetch(g[2]) for g in grp])
+                    y = jnp.stack([fetch(g[3]) for g in grp])
+                    res = run(kind, gate.gate_mux, c, x, y)
+                    for i, g in enumerate(grp):
+                        store[g[4]] = res[i]
             else:
                 # diagnostic knob: TFHE_WAVE_SPLIT=1 launches per kind
                 # (the pre-round-4 behavior) for A/B measurement
@@ -260,6 +269,41 @@ def evaluate(circ: Circuit, inputs, ck_data, params, outputs,
     for w in outputs:
         outs.append(fetch(circ.resolve(w)))
     return jnp.stack(outs)
+
+
+def comparator(nbits: int):
+    """nbits-bit unsigned comparator over wires x[0..n) ++ y[0..n):
+    returns (Circuit, [lt, eq, gt]) with lt = (x < y).
+
+    The MUX-bearing second workload (VERDICT r4 item 6): a log-depth
+    merge tree.  Level 0 computes per-bit e_i = XNOR(x_i, y_i) and
+    l_i = AND(NOT x_i, y_i) as one mixed binary wave; each merge level
+    then combines adjacent segments (hi, lo) with
+
+        eq = AND(eq_hi, eq_lo)
+        lt = MUX(eq_hi, lt_lo, lt_hi)      # if hi bits equal, low decides
+
+    so the schedule alternates binary and MUX waves of halving width
+    (16, 8, 4, 2, 1 for nbits=32) — exactly the ragged irregular-fan-out
+    shape the adder workload never exercises.  gt = NOR(lt, eq)."""
+    assert nbits & (nbits - 1) == 0, "power-of-two widths only"
+    circ = Circuit(2 * nbits)
+    # bit i of x is wire i, of y is wire nbits+i; MSB-first segment lists
+    eqs = []
+    lts = []
+    for i in reversed(range(nbits)):
+        eqs.append(circ.gate("xnor", i, nbits + i))
+        lts.append(circ.gate("and", circ.not_(i), nbits + i))
+    while len(eqs) > 1:
+        eqs2, lts2 = [], []
+        for s in range(0, len(eqs), 2):
+            hi_eq, lo_eq = eqs[s], eqs[s + 1]
+            hi_lt, lo_lt = lts[s], lts[s + 1]
+            lts2.append(circ.mux(hi_eq, lo_lt, hi_lt))
+            eqs2.append(circ.gate("and", hi_eq, lo_eq))
+        eqs, lts = eqs2, lts2
+    gt = circ.gate("nor", lts[0], eqs[0])
+    return circ, [lts[0], eqs[0], gt]
 
 
 def ripple_carry_adder(nbits: int):

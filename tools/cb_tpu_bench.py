@@ -22,14 +22,19 @@ import jax
 jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp
 
-from tfhe_tpu.params import CB_ACTIVE, CB_MXU, CB_TOY
+from tfhe_tpu.params import (CB_ACTIVE, CB_MXU, CB_TOY, CB_PAPER,
+                             CB_ALT_155MS, CB_ALT_180MS)
 from tfhe_tpu.rng import TfheRng
 from tfhe_tpu import lwe, tlwe, tgsw
 from tfhe_tpu.boot import circuit, probe
 
 B = int(os.environ.get("CB_BATCH", 32))
-p = {"active": CB_ACTIVE, "mxu": CB_MXU,
-     "toy": CB_TOY}[os.environ.get("CB_PARAMS", "active")]
+p = {"active": CB_ACTIVE, "mxu": CB_MXU, "toy": CB_TOY,
+     # the reference's other annotated blocks (VERDICT r4 item 9):
+     # poc_CircuitBootstrapping.cpp:18-34 (paper), :53-68 (155-181 ms),
+     # :36-51 (180-210 ms)
+     "paper": CB_PAPER, "alt155": CB_ALT_155MS,
+     "alt180": CB_ALT_180MS}[os.environ.get("CB_PARAMS", "active")]
 backend = os.environ.get("CB_BACKEND", "conv")
 dev = jax.devices()[0]
 
@@ -114,6 +119,11 @@ result = {
     "unit": "ms/ct",           # batch-amortized; the actual batch latency
     "batch_latency_s": round(best, 3),
     "vs_baseline": round(137.0 / (best / B * 1e3), 2),
+    # the reference's own annotated timing for THIS block (poc comments)
+    "ref_annotated_ms": {"active": "144+", "paper": "137 (README headline)",
+                         "alt155": "155-181", "alt180": "180-210",
+                         "mxu": "n/a (TPU-first reparam)",
+                         "toy": "n/a"}[os.environ.get("CB_PARAMS", "active")],
     "throughput_ct_s": round(B / best, 1),
     "batch": B,
     "backend": backend,
