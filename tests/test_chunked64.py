@@ -279,3 +279,50 @@ def test_ck_cmux_step64(N, k, l, bgbit, klimbs, m, tm):
                               tm=tm, kp1=k + 1, interpret=True)
     got = np.asarray(i64pair.to_i64(olo, ohi)).reshape(B, k + 1, N)
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("N,k,l,bgbit,klimbs,m,tm", [
+    (128, 1, 5, 8, 6, 32, 2),        # CB_MXU-shaped (P=1)
+    (128, 1, 4, 9, 0, 32, 4),        # CB_ACTIVE-shaped (P=2)
+])
+def test_ck_dot64p_acc_path(N, k, l, bgbit, klimbs, m, tm):
+    """Path A (VERDICT r4 item 2): rotate_decompose64_ck_flat +
+    ck_dot64p_acc (interpret) == generic pair CMux, bit for bit."""
+    from tfhe_tpu.ops.pallas_kernels import (rotate_decompose64_ck_flat,
+                                             ck_dot64p_acc)
+    r = np.random.default_rng(9)
+    p = TGswParams(l=l, bgbit=bgbit, key_limbs=klimbs,
+                   tlwe=TLweParams(N=N, k=k, stdev=0.0, bits=64))
+    cfg = tgsw.engine_config(p)
+    ce = ChunkedEngine(cfg, m=m)
+    B = 4
+    key = r.integers(-2**40, 2**40, (p.kpl, k + 1, N)).astype(np.int64)
+    acc = r.integers(-2**63, 2**63, (B, k + 1, N)).astype(np.int64)
+    a = r.integers(0, 2 * N, (B,)).astype(np.int32)
+    prep = ce.prepare(jnp.asarray(key))
+    acc2 = tlwe.mul_by_xai_minus_one(jnp.asarray(a), jnp.asarray(acc))
+    want = np.asarray(jnp.asarray(acc)
+                      + ce.accumulate(decompose_tlwe(acc2, p), prep))
+    lo, hi = i64pair.from_i64(jnp.asarray(acc).reshape(B, (k + 1) * N))
+    pb, P = cfg.plane_split
+    x = rotate_decompose64_ck_flat(jnp.asarray(a), lo, hi, N=N, l=l,
+                                   bgbit=bgbit, offset=p.offset, m=m,
+                                   planes=P, interpret=True)
+    # digits must equal the U-major kernel's (shared layout contract)
+    xu = rotate_decompose64_ck(
+        jnp.asarray(a), *[v.reshape(B, k + 1, N).swapaxes(0, 1)
+                          .reshape(k + 1, B, N) for v in (lo, hi)],
+        l=l, bgbit=bgbit, offset=p.offset, m=m, planes=P, interpret=True)
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(xu))
+    olo, ohi = ck_dot64p_acc(x, prep["wm"], lo, hi, N=N, m=m,
+                             key_shift=cfg.key_shift, planes=P, tm=tm,
+                             kp1=k + 1, interpret=True)
+    got = np.asarray(i64pair.to_i64(olo, ohi)).reshape(B, k + 1, N)
+    np.testing.assert_array_equal(got, want)
+    # streaming-limb variant (path A'): same contract
+    from tfhe_tpu.ops.pallas_kernels import ck_dot64p_sacc
+    slo, shi = ck_dot64p_sacc(x, prep["wm"], lo, hi, N=N, m=m,
+                              key_shift=cfg.key_shift, planes=P, tm=tm,
+                              kp1=k + 1, interpret=True)
+    got2 = np.asarray(i64pair.to_i64(slo, shi)).reshape(B, k + 1, N)
+    np.testing.assert_array_equal(got2, want)

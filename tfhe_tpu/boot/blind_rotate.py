@@ -64,6 +64,31 @@ def blind_rotate(acc, bk_prepared, abar, p: TGswParams, backend: str = "matmul",
         # scan-level benchmark beats the two-kernel path (the per-kernel
         # timings on the shared dev chip swing +-30%, so only same-process
         # full-scan numbers decide — tools/bench_cb_paths.py).
+        # Epilogue-fused two-kernel step (TFHE_CK64_PATH=acc): FLAT pair
+        # carry, limb recombination + accumulator add inside the dot
+        # kernel (engine.cmux_pair_step_acc).
+        _path = _os.environ.get("TFHE_CK64_PATH", "")
+        if _path in ("acc", "sacc") \
+                and hasattr(eng, f"cmux_pair_step_{_path}"):
+            step_m = getattr(eng, f"cmux_pair_step_{_path}")
+            B, kp1, N = acc.shape
+            lo, hi = i64pair.from_i64(acc.reshape(B, kp1 * N))
+            probe = step_m(
+                abar[:, 0], lo, hi,
+                jax.tree_util.tree_map(lambda v: v[0], bk_prepared),
+                kp1=kp1, l=p.l, bgbit=p.bgbit, offset=p.offset)
+            if probe is not None:
+                def stepa(carry, xs):
+                    prep_i, a_i = xs
+                    out = step_m(
+                        a_i, carry[0], carry[1], prep_i, kp1=kp1, l=p.l,
+                        bgbit=p.bgbit, offset=p.offset)
+                    return out, None
+                carry, _ = lax.scan(stepa, (lo, hi),
+                                    (bk_prepared,
+                                     jnp.moveaxis(abar, -1, 0)),
+                                    unroll=unroll)
+                return i64pair.to_i64(*carry).reshape(B, kp1, N)
         if _os.environ.get("TFHE_CK64_FUSED", "") not in ("", "0") \
                 and hasattr(eng, "cmux_pair_step_flat"):
             B, kp1, N = acc.shape

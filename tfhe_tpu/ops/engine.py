@@ -624,6 +624,63 @@ class ChunkedEngine(_EngineBase):
                         else i64pair.add(zlo, zhi, plo, phi))
         return i64pair.add(lo, hi, zlo, zhi)
 
+    def cmux_pair_step_acc(self, a, lo_flat, hi_flat, prepared, *,
+                           kp1: int, l: int, bgbit: int, offset: int,
+                           tm: int = 128):
+        """64-bit step on the FLAT pair layout, two kernels with the
+        epilogue FUSED into the dot kernel (VERDICT r4 item 2 path A):
+        rotate_decompose64_ck_flat -> ck_dot64p_acc.  vs cmux_pair_step,
+        this retires the XLA i64pair epilogue and the (U*L, B, N) int32
+        per-limb HBM round trip (~42 MB r+w per step at CB_MXU/B=256).
+        Returns (lo', hi') or None when ineligible."""
+        import jax as _jax
+        if _jax.default_backend() != "tpu" or self.cfg.out_bits != 64:
+            return None
+        cfg = self.cfg
+        pb, P = cfg.plane_split
+        if P not in (1, 2):
+            return None
+        from tfhe_tpu.ops.pallas_kernels import (rotate_decompose64_ck_flat,
+                                                 ck_dot64p_acc)
+        B = lo_flat.shape[0]
+        N = lo_flat.shape[1] // kp1
+        tm_fit = B & -B if B & -B <= tm else tm
+        if tm_fit < 8:
+            return None
+        x = rotate_decompose64_ck_flat(a, lo_flat, hi_flat, N=N, l=l,
+                                       bgbit=bgbit, offset=offset,
+                                       m=self.m, planes=P)
+        return ck_dot64p_acc(x, prepared["wm"], lo_flat, hi_flat, N=N,
+                             m=self.m, key_shift=cfg.key_shift, planes=P,
+                             tm=min(tm, tm_fit), kp1=kp1)
+
+    def cmux_pair_step_sacc(self, a, lo_flat, hi_flat, prepared, *,
+                            kp1: int, l: int, bgbit: int, offset: int,
+                            tm: int = 128):
+        """cmux_pair_step_acc with the lg=1 streaming dot schedule kept
+        (ck_dot64p_sacc): limb axis as an inner grid dim, pair
+        recombination in scratch.  Returns (lo', hi') or None."""
+        import jax as _jax
+        if _jax.default_backend() != "tpu" or self.cfg.out_bits != 64:
+            return None
+        cfg = self.cfg
+        pb, P = cfg.plane_split
+        if P not in (1, 2):
+            return None
+        from tfhe_tpu.ops.pallas_kernels import (rotate_decompose64_ck_flat,
+                                                 ck_dot64p_sacc)
+        B = lo_flat.shape[0]
+        N = lo_flat.shape[1] // kp1
+        tm_fit = B & -B if B & -B <= tm else tm
+        if tm_fit < 8:
+            return None
+        x = rotate_decompose64_ck_flat(a, lo_flat, hi_flat, N=N, l=l,
+                                       bgbit=bgbit, offset=offset,
+                                       m=self.m, planes=P)
+        return ck_dot64p_sacc(x, prepared["wm"], lo_flat, hi_flat, N=N,
+                              m=self.m, key_shift=cfg.key_shift, planes=P,
+                              tm=min(tm, tm_fit), kp1=kp1)
+
     def cmux_pair_step_flat(self, a, lo_flat, hi_flat, prepared, *,
                             kp1: int, l: int, bgbit: int, offset: int,
                             tm: int = 128):

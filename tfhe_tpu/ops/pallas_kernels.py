@@ -770,6 +770,39 @@ def rotate_decompose64_ck(a, acc_lo, acc_hi, *, l: int, bgbit: int,
     return out
 
 
+def rotate_decompose64_ck_flat(a, lo_flat, hi_flat, *, N: int, l: int,
+                               bgbit: int, offset: int, m: int,
+                               planes: int = 1, tb: int = 256,
+                               interpret: bool = False):
+    """rotate_decompose64_ck on the FLAT (B, (k+1)*N) pair layout: the same
+    (tb, N) accumulator blocks are addressed as column tiles of the flat
+    array, so neither layout pays a relayout.  Digit output is identical."""
+    B, kpN = lo_flat.shape
+    kp1 = kpN // N
+    tb = min(tb, B)
+    assert B % tb == 0 and N % m == 0
+    assert planes in (1, 2)
+    C = N // m
+    nbits = (2 * N - 1).bit_length()
+    nb = B // tb
+    ckp = -(-(kp1 * l * m) // 128) * 128
+    a2 = a.astype(jnp.int32)[:, None]                       # (B, 1)
+    return pl.pallas_call(
+        _rotdec64_ck_kernel(N, kp1, l, bgbit, offset, nbits, planes, m, ckp),
+        grid=(nb, kp1),        # u INNER: the out block stays resident
+        in_specs=[
+            pl.BlockSpec((tb, 1), lambda i, u: (i, u - u)),
+            pl.BlockSpec((tb, N), lambda i, u: (i, u)),
+            pl.BlockSpec((tb, N), lambda i, u: (i, u)),
+        ],
+        out_specs=pl.BlockSpec((tb, C * planes * ckp),
+                               lambda i, u: (i, u - u)),
+        out_shape=jax.ShapeDtypeStruct((B, C * planes * ckp), jnp.int8),
+        compiler_params=_cparams("arbitrary", "arbitrary"),
+        interpret=interpret,
+    )(a2, lo_flat, hi_flat)
+
+
 def _ck64p_kernel(N, m, P, C, Jm, ckp, lgsize):
     Npm = N + m
 
@@ -819,6 +852,192 @@ def ck_dot64p(x, wm, *, N: int, m: int, planes: int = 1, tm: int = 128,
         compiler_params=_cparams("arbitrary", "arbitrary"),
         interpret=interpret,
     )(x, wm)
+
+
+def _ck64p_acc_kernel(N, m, P, C, kp1, L, Jm, ckp, key_shift):
+    def kernel(x_ref, w_ref, al_ref, ah_ref, ol_ref, oh_ref, sacc_ref):
+        zlo = zhi = None
+        for li in range(L):
+            sacc_ref[:, :] = jnp.zeros(sacc_ref.shape, jnp.int32)
+            for c in range(C):
+                y = None
+                for p in range(P):
+                    xs = x_ref[:, pl.ds((c * P + p) * ckp, Jm)]
+                    yp = jnp.dot(xs, w_ref[li],
+                                 preferred_element_type=jnp.int32)
+                    yp = (yp << (7 * p)) if p else yp
+                    y = yp if y is None else y + yp
+                sacc_ref[:, pl.ds(c * m, N + m)] += y
+            f = sacc_ref[:, pl.ds(0, N)] - sacc_ref[:, pl.ds(N, N)]
+            # (plo, phi) += f << (8*li + key_shift) in 64-bit pair arithmetic
+            s = 8 * li + key_shift
+            if s == 0:
+                plo, phi = f, f >> 31
+            elif s < 32:
+                plo, phi = f << s, f >> (32 - s)
+            elif s == 32:
+                plo, phi = jnp.zeros_like(f), f
+            else:
+                plo, phi = jnp.zeros_like(f), f << (s - 32)
+            if zlo is None:
+                zlo, zhi = plo, phi
+            else:
+                nlo = zlo + plo
+                carry = (nlo.astype(jnp.uint32)
+                         < plo.astype(jnp.uint32)).astype(jnp.int32)
+                zlo, zhi = nlo, zhi + phi + carry
+        av, bv = al_ref[:], ah_ref[:]
+        nlo = av + zlo
+        carry = (nlo.astype(jnp.uint32)
+                 < av.astype(jnp.uint32)).astype(jnp.int32)
+        ol_ref[:, :] = nlo
+        oh_ref[:, :] = bv + zhi + carry
+    return kernel
+
+
+def _ck64p_sacc_kernel(N, m, P, C, L, Jm, ckp, key_shift):
+    def kernel(x_ref, w_ref, al_ref, ah_ref, ol_ref, oh_ref,
+               sacc_ref, zlo_ref, zhi_ref):
+        li = pl.program_id(2)
+        sacc_ref[:, :] = jnp.zeros(sacc_ref.shape, jnp.int32)
+        for c in range(C):
+            y = None
+            for p in range(P):
+                xs = x_ref[:, pl.ds((c * P + p) * ckp, Jm)]
+                yp = jnp.dot(xs, w_ref[0],
+                             preferred_element_type=jnp.int32)
+                yp = (yp << (7 * p)) if p else yp
+                y = yp if y is None else y + yp
+            sacc_ref[:, pl.ds(c * m, N + m)] += y
+        f = sacc_ref[:, pl.ds(0, N)] - sacc_ref[:, pl.ds(N, N)]
+        # (plo, phi) = f << (8*li + key_shift): the shift is dynamic in li,
+        # so select among the L static-shift variants (cheap VPU selects)
+        plo = jnp.zeros_like(f)
+        phi = jnp.zeros_like(f)
+        for lc in range(L):
+            s = 8 * lc + key_shift
+            if s == 0:
+                cl, ch = f, f >> 31
+            elif s < 32:
+                cl, ch = f << s, f >> (32 - s)
+            elif s == 32:
+                cl, ch = jnp.zeros_like(f), f
+            else:
+                cl, ch = jnp.zeros_like(f), f << (s - 32)
+            sel = li == lc
+            plo = jnp.where(sel, cl, plo)
+            phi = jnp.where(sel, ch, phi)
+
+        @pl.when(li == 0)
+        def _():
+            zlo_ref[:, :] = plo
+            zhi_ref[:, :] = phi
+
+        @pl.when(li > 0)
+        def _():
+            zl = zlo_ref[:]
+            nlo = zl + plo
+            carry = (nlo.astype(jnp.uint32)
+                     < plo.astype(jnp.uint32)).astype(jnp.int32)
+            zlo_ref[:, :] = nlo
+            zhi_ref[:, :] = zhi_ref[:] + phi + carry
+
+        @pl.when(li == L - 1)
+        def _():
+            av, bv = al_ref[:], ah_ref[:]
+            zl = zlo_ref[:]
+            nlo = av + zl
+            carry = (nlo.astype(jnp.uint32)
+                     < av.astype(jnp.uint32)).astype(jnp.int32)
+            ol_ref[:, :] = nlo
+            oh_ref[:, :] = bv + zhi_ref[:] + carry
+    return kernel
+
+
+def ck_dot64p_sacc(x, wm, lo_flat, hi_flat, *, N: int, m: int,
+                   key_shift: int, planes: int = 1, tm: int = 128,
+                   kp1: int = 2, interpret: bool = False):
+    """ck_dot64p_acc with the lg=1 STREAMING schedule preserved: grid
+    (batch tile, u, limb) so each cell streams ONE (Jm, N+m) W block —
+    exactly ck_dot64p's fast shape — while the 64-bit pair recombination
+    accumulates in scratch across the limb axis (the standard k-loop
+    first/last-iteration predication pattern) and the accumulator add +
+    output write happen only at the last limb cell."""
+    B, CPckp = x.shape
+    UL, Jm, Npm = wm.shape
+    C = N // m
+    P = planes
+    ckp = -(-Jm // 128) * 128
+    L = UL // kp1
+    assert Npm == N + m and CPckp == C * P * ckp
+    assert B % tm == 0 and lo_flat.shape == (B, kp1 * N)
+    outs = pl.pallas_call(
+        _ck64p_sacc_kernel(N, m, P, C, L, Jm, ckp, key_shift),
+        grid=(B // tm, kp1, L),
+        in_specs=[
+            pl.BlockSpec((tm, CPckp), lambda i, u, li: (i, i - i)),
+            pl.BlockSpec((1, Jm, Npm), lambda i, u, li: (u * L + li,
+                                                         i - i, i - i)),
+            pl.BlockSpec((tm, N), lambda i, u, li: (i, u)),
+            pl.BlockSpec((tm, N), lambda i, u, li: (i, u)),
+        ],
+        out_specs=[pl.BlockSpec((tm, N), lambda i, u, li: (i, u)),
+                   pl.BlockSpec((tm, N), lambda i, u, li: (i, u))],
+        out_shape=[jax.ShapeDtypeStruct((B, kp1 * N), jnp.int32),
+                   jax.ShapeDtypeStruct((B, kp1 * N), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((tm, 2 * N), jnp.int32),
+                        pltpu.VMEM((tm, N), jnp.int32),
+                        pltpu.VMEM((tm, N), jnp.int32)],
+        compiler_params=_cparams("arbitrary", "arbitrary", "arbitrary"),
+        interpret=interpret,
+    )(x, wm, lo_flat, hi_flat)
+    return outs[0], outs[1]
+
+
+def ck_dot64p_acc(x, wm, lo_flat, hi_flat, *, N: int, m: int,
+                  key_shift: int, planes: int = 1, tm: int = 128,
+                  kp1: int = 2, interpret: bool = False):
+    """ck_dot64p with the 64-bit limb recombination AND the accumulator add
+    fused in-kernel (VERDICT r4 item 2, path A — the tools/bisect_ck64.py
+    "v2" morph promoted to production).
+
+    vs the two-kernel path's ck_dot64p + XLA i64pair epilogue, this never
+    materializes the (U*L, B, N) int32 per-limb products in HBM (21 MB at
+    CB_MXU/B=256, written then immediately re-read by the epilogue) and
+    retires the epilogue launch itself; outputs are the updated flat
+    (lo, hi) pair directly.
+
+    x:               (B, C*P*ckp) int8 digits (rotate_decompose64_ck).
+    wm:              (kp1*L, J*m, N+m) int8 (ChunkedEngine.prepare).
+    lo_flat/hi_flat: (B, kp1*N) int32 accumulator pair.
+    Returns (lo', hi') = acc + sum_l (digits @ wm[u,l]) << (8l+key_shift).
+    """
+    B, CPckp = x.shape
+    UL, Jm, Npm = wm.shape
+    C = N // m
+    P = planes
+    ckp = -(-Jm // 128) * 128
+    L = UL // kp1
+    assert Npm == N + m and CPckp == C * P * ckp
+    assert B % tm == 0 and lo_flat.shape == (B, kp1 * N)
+    outs = pl.pallas_call(
+        _ck64p_acc_kernel(N, m, P, C, kp1, L, Jm, ckp, key_shift),
+        grid=(B // tm, kp1),
+        in_specs=[
+            pl.BlockSpec((tm, CPckp), lambda i, u: (i, i - i)),
+            pl.BlockSpec((L, Jm, Npm), lambda i, u: (u, i - i, i - i)),
+            pl.BlockSpec((tm, N), lambda i, u: (i, u)),
+            pl.BlockSpec((tm, N), lambda i, u: (i, u)),
+        ],
+        out_specs=[pl.BlockSpec((tm, N), lambda i, u: (i, u)),
+                   pl.BlockSpec((tm, N), lambda i, u: (i, u))],
+        out_shape=[jax.ShapeDtypeStruct((B, kp1 * N), jnp.int32),
+                   jax.ShapeDtypeStruct((B, kp1 * N), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((tm, 2 * N), jnp.int32)],
+        compiler_params=_cparams("arbitrary", "arbitrary"),
+        interpret=interpret,
+    )(x, wm, lo_flat, hi_flat)
+    return outs[0], outs[1]
 
 
 # ---------------------------------------------------------------------------

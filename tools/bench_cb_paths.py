@@ -1,6 +1,7 @@
 #!/usr/bin/env python3
 """Scan-level comparison of the 64-bit blind-rotation paths at CB shapes:
-the production two-kernel pair path vs the fully fused ck_cmux_step64
+the production two-kernel pair path vs the epilogue-fused path A
+(TFHE_CK64_PATH=acc) vs the fully fused ck_cmux_step64
 (TFHE_CK64_FUSED) — SAME process, SYNTHETIC keys (timing only; both paths
 are bit-exact-tested in tests/test_chunked64.py).
 
@@ -35,8 +36,9 @@ abar = jnp.asarray(r.integers(0, 2 * N, (B, NS)).astype(np.int32))
 prep = {"wm": wm}
 
 
-def run(label, fused):
-    os.environ["TFHE_CK64_FUSED"] = "1" if fused else "0"
+def run(label, mode):
+    os.environ["TFHE_CK64_FUSED"] = "1" if mode == "fused" else "0"
+    os.environ["TFHE_CK64_PATH"] = mode if mode in ("acc", "sacc") else ""
     # prep must be an ARGUMENT: closing over it bakes the 8 GB wm into the
     # program as a constant and stalls the remote compile
     fn = jax.jit(lambda prep, acc, abar: br.blind_rotate(acc, prep, abar,
@@ -55,7 +57,30 @@ def run(label, fused):
     return out, best
 
 
-o1, t1 = run("two-kernel pair path", False)
-o2, t2 = run("fused ck_cmux_step64", True)
-same = bool((np.asarray(o1) == np.asarray(o2)).all())
-print(f"outputs identical: {same}   speedup: {t1/t2:.3f}x", flush=True)
+modes = os.environ.get("MODES", "two,acc,fused,two,acc").split(",")
+results = {}
+outs = {}
+for ix, mmode in enumerate(modes):
+    o, t = run(f"{mmode} #{ix}", mmode)
+    results.setdefault(mmode, []).append(t)
+    outs.setdefault(mmode, o)
+ref = outs[modes[0]]
+for mmode, o in outs.items():
+    same = bool((np.asarray(ref) == np.asarray(o)).all())
+    best = min(results[mmode])
+    print(f"{mmode:8s} best {best/NS*1e6:7.1f} us/step  identical={same}",
+          flush=True)
+import sys
+sys.exit(0)
+o1, t1 = run("two-kernel pair path", "two")
+o3, t3 = run("acc-fused dot (path A)", "acc")
+o2, t2 = run("fused ck_cmux_step64", "fused")
+# interleaved second visits to bound chip drift within the session
+o1b, t1b = run("two-kernel pair path #2", "two")
+o3b, t3b = run("acc-fused dot #2", "acc")
+same2 = bool((np.asarray(o1) == np.asarray(o2)).all())
+same3 = bool((np.asarray(o1) == np.asarray(o3)).all())
+print(f"fused identical: {same2}  acc identical: {same3}", flush=True)
+print(f"two {min(t1,t1b)/NS*1e6:.1f} us/step | acc {min(t3,t3b)/NS*1e6:.1f} "
+      f"| fused {t2/NS*1e6:.1f}  -> acc speedup {min(t1,t1b)/min(t3,t3b):.3f}x",
+      flush=True)
