@@ -36,6 +36,16 @@ p = {"active": CB_ACTIVE, "mxu": CB_MXU, "toy": CB_TOY,
      "paper": CB_PAPER, "alt155": CB_ALT_155MS,
      "alt180": CB_ALT_180MS}[os.environ.get("CB_PARAMS", "active")]
 backend = os.environ.get("CB_BACKEND", "conv")
+# Engine knob for the big alternate blocks: the untruncated 8-limb lvl2
+# key at l2=6 wants a 12.4 GB chunked wm (doesn't fit v5e HBM); 6 limbs
+# (top 48 bits) adds 2^-49.8 truncation noise — negligible vs the alt
+# blocks' 2^-45 bk stdev, ~doubles variance at CB_PAPER's 2^-50 (still
+# orders under the budget; the decrypt probe verifies).
+bk_limbs = int(os.environ.get("CB_BK_LIMBS", 0))
+if bk_limbs:
+    import dataclasses as _dc
+    p = _dc.replace(p, tgsw_lvl2=_dc.replace(p.tgsw_lvl2,
+                                             key_limbs=bk_limbs))
 dev = jax.devices()[0]
 
 from tfhe_tpu.utils import observability as obs
@@ -127,7 +137,8 @@ result = {
     "throughput_ct_s": round(B / best, 1),
     "batch": B,
     "backend": backend,
-    "params": f"n0={p.n_lvl0},N1={p.n_lvl1},N2={p.n_lvl2},l2={p.tgsw_lvl2.l}",
+    "params": f"n0={p.n_lvl0},N1={p.n_lvl1},N2={p.n_lvl2},l2={p.tgsw_lvl2.l}"
+              + (f",bk_limbs={bk_limbs}" if bk_limbs else ""),
     "device": str(dev),
     "keygen_s": round(keygen_s, 1),
     "keygen_spans": keygen_spans,

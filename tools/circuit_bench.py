@@ -67,6 +67,26 @@ compile_s = time.time() - t0
 print(f"# first run (incl. compiles) {compile_s:.1f}s", file=sys.stderr,
       flush=True)
 
+trace_buckets = None
+if os.environ.get("CIRCUIT_TRACE", "") not in ("", "0"):
+    trace_dir = "/tmp/tfhe_trace_circuit"
+    with jax.profiler.trace(trace_dir):
+        out = run()
+        jax.device_get(np.asarray(out[-1, -1, :2]))
+    from xplane_util import parse_device_ops, bucket_ops
+    ops, _ = parse_device_ops(trace_dir)
+    trace_buckets = bucket_ops(ops, [
+        ("step_kernel(pallas)", ["cmux", "ck_dot", "rotate_decompose",
+                                 "custom-call"]),
+        ("matmul(keyswitch)", ["dot", "convolution"]),
+        ("elementwise/glue", ["fusion", "add", "subtract", "select",
+                              "iota", "compare", "convert", "shift"]),
+        ("relayout/copy", ["copy", "transpose", "reshape", "slice",
+                           "concatenate", "gather", "scatter", "dynamic"]),
+    ])
+    trace_buckets = {k: round(v, 3) for k, v in trace_buckets.items()}
+    trace_buckets["device_total_s"] = round(sum(ops.values()), 3)
+
 times = []
 for _ in range(REPS):
     t0 = time.time()
@@ -101,4 +121,6 @@ result = {
     "keygen_s": round(keygen_s, 1),
     "all_correct": ok,
 }
+if trace_buckets is not None:
+    result["trace_buckets_s"] = trace_buckets
 print(json.dumps(result), flush=True)

@@ -133,6 +133,11 @@ if "gate_default" in SETS:
     bench_gate("GATE_DEFAULT", GATE_DEFAULT, "chunked")
 if "gate_fast2" in SETS:
     bench_gate("GATE_FAST2", GATE_FAST2, "onthefly")
+if "gate_fast2_chunked" in SETS:
+    # latency-optimal backend at tiny B: the onthefly engine's per-step
+    # key materialization is batch-independent overhead (fine at B=8192,
+    # dominant at B=1); the chunked backend pre-materializes at keygen
+    bench_gate("GATE_FAST2_chunked", GATE_FAST2, "chunked")
 if "cb_mxu" in SETS:
     bench_cb("CB_MXU", CB_MXU, "/tmp/cb_circuit_key_mxu.npz")
 if "cb_active" in SETS:

@@ -70,33 +70,10 @@ print(f"# wall {wall_s:.3f}s = {B/wall_s:.0f} ct/s, correct={ok}",
       file=sys.stderr, flush=True)
 
 # ---- parse the xplane: bucket device-op durations ----
-from tensorflow.tsl.profiler.protobuf import xplane_pb2
+from xplane_util import parse_device_ops, bucket_ops
+from collections import defaultdict
 
-paths = sorted(glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
-                         recursive=True))
-assert paths, f"no xplane under {trace_dir}"
-space = xplane_pb2.XSpace()
-with open(paths[-1], "rb") as f:
-    space.ParseFromString(f.read())
-
-by_op = defaultdict(float)
-for plane in space.planes:
-    if "TPU" not in plane.name and "device" not in plane.name.lower():
-        continue
-    ev_meta = plane.event_metadata
-    for line in plane.lines:
-        # keep only compute lines (XLA Ops / steps); skip host threads
-        for ev in line.events:
-            name = ev_meta[ev.metadata_id].name
-            by_op[(plane.name, line.name, name)] += ev.duration_ps / 1e12
-
-# aggregate over the densest (plane, line) group — the XLA op stream
-line_tot = defaultdict(float)
-for (pl, ln, name), s in by_op.items():
-    line_tot[(pl, ln)] += s
-op_line = max(line_tot, key=line_tot.get)
-ops = {name: s for (pl, ln, name), s in by_op.items()
-       if (pl, ln) == op_line}
+ops, op_line = parse_device_ops(trace_dir)
 
 
 def bucket(name: str) -> str:
