@@ -143,6 +143,11 @@ def test_fused_cmux_step_v2_multi_tile():
                                         tm=8, interpret=True))
     want = _cmux_reference(a, acc, w, p, 8)
     np.testing.assert_array_equal(got, want)
+    # FLAT scan-carry mode: same kernel, (B, (k+1)N) in/out, no reshape
+    gotf = np.asarray(fused_cmux_step_v2(
+        a, acc.reshape(B, (k + 1) * N), w, l=l, bgbit=p.bgbit,
+        offset=p.offset, key_shift=8, tm=8, kp1=k + 1, interpret=True))
+    np.testing.assert_array_equal(gotf.reshape(B, k + 1, N), want)
 
 
 def test_engine_fused_path_matches_accumulate():

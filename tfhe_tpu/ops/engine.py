@@ -204,6 +204,37 @@ class _EngineBase:
                                   key_shift=cfg.key_shift,
                                   tm=min(tm, tm_fit))
 
+    def _cmux_step_fused_flat(self, a, acc_flat, w, *, kp1, l, bgbit,
+                              offset, tm):
+        """_cmux_step_fused on the FLAT (B, (k+1)*N) scan-carry layout —
+        motivated by the ~100 us/step while-carry relayout copies XLA
+        inserts around the custom call in the circuit wave-jit context
+        (bench_results/circuit_adder32_trace_r5.json).  OPT-IN
+        (TFHE_V2_FLAT=1): in the direct bootstrap jit the 3-D carry pays
+        no relayout and flat measured 1.3% SLOWER same-process (10,092
+        vs 9,960 ct/s, outputs identical — bench_results/v2_flat_ab_r5
+        .json)."""
+        import os as _os
+        import jax as _jax
+        from tfhe_tpu.ops import tiles
+        cfg = self.cfg
+        if _os.environ.get("TFHE_V2_FLAT", "0") in ("", "0"):
+            return None
+        B = acc_flat.shape[0]
+        if not (_jax.default_backend() == "tpu" and cfg.out_bits == 32
+                and cfg.kbits == 32 and cfg.plane_split[1] == 1
+                and bgbit <= 8 and cfg.num_limbs <= 3
+                and acc_flat.ndim == 2):
+            return None
+        N = acc_flat.shape[1] // kp1
+        tm_fit = tiles.choose_v2_tm(N, kp1, l, cfg.num_limbs, B)
+        if tm_fit is None:
+            return None
+        from tfhe_tpu.ops.pallas_kernels import fused_cmux_step_v2
+        return fused_cmux_step_v2(a, acc_flat, w, l=l, bgbit=bgbit,
+                                  offset=offset, key_shift=cfg.key_shift,
+                                  tm=min(tm, tm_fit), kp1=kp1)
+
 
 class NaiveEngine(_EngineBase):
     """Exact O(N^2) einsum oracle in the torus dtype (CPU tests only)."""
@@ -240,6 +271,12 @@ class MatmulEngine(_EngineBase):
     def cmux_step(self, a, acc, prepared, *, l, bgbit, offset, tm=256):
         return self._cmux_step_fused(a, acc, prepared["w"], l=l, bgbit=bgbit,
                                      offset=offset, tm=tm)
+
+    def cmux_step_flat(self, a, acc_flat, prepared, *, kp1, l, bgbit,
+                       offset, tm=256):
+        return self._cmux_step_fused_flat(a, acc_flat, prepared["w"],
+                                          kp1=kp1, l=l, bgbit=bgbit,
+                                          offset=offset, tm=tm)
 
     def prepare(self, key_polys):
         cfg = self.cfg
@@ -390,6 +427,17 @@ class OnTheFlyMatmulEngine(_EngineBase):
         from tfhe_tpu.ops.pallas_kernels import materialize_w
         return self._cmux_step_fused(a, acc, materialize_w(prepared["v"]),
                                      l=l, bgbit=bgbit, offset=offset, tm=tm)
+
+    def cmux_step_flat(self, a, acc_flat, prepared, *, kp1, l, bgbit,
+                       offset, tm=256):
+        import jax as _jax
+        if _jax.default_backend() != "tpu":
+            return None
+        from tfhe_tpu.ops.pallas_kernels import materialize_w
+        return self._cmux_step_fused_flat(a, acc_flat,
+                                          materialize_w(prepared["v"]),
+                                          kp1=kp1, l=l, bgbit=bgbit,
+                                          offset=offset, tm=tm)
 
     def accumulate(self, x, prepared):
         import jax as _jax

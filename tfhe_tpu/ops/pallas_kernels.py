@@ -501,19 +501,28 @@ def _fused_cmux_v2_kernel(N, kp1, l, L, bgbit, offset, key_shift, nb,
 
 
 def fused_cmux_step_v2(a, acc, w, *, l: int, bgbit: int, offset: int,
-                       key_shift: int = 0, tm: int = 256,
+                       key_shift: int = 0, tm: int = 256, kp1: int = None,
                        _skip_vpu: bool = False, interpret: bool = False):
     """One blind-rotation step, fully fused (v2 schedule):
 
         out = acc + recombine(decompose((X^a - 1) * acc) @ w)
 
     a:   (B,) int32 exponents in [0, 2N)
-    acc: (B, k+1, N) int32 TRLWE accumulator batch
+    acc: (B, k+1, N) int32 TRLWE accumulator batch — or, with kp1 given,
+         the FLAT (B, (k+1)*N) scan-carry layout (no reshape in the scan
+         body: the 3-D view's padded-sublane tiling makes XLA relayout
+         the while carry around the custom call, ~100 us/step measured
+         on the GATE_FAST2 adder trace, circuit_adder32_trace_r5.json)
     w:   (L, (k+1)*l*N, (k+1)*N) int8 key limb matrices (materialize_w
          layout); L <= 3.
-    Returns (B, k+1, N) int32.
+    Returns the same layout it was given.
     """
-    B, kp1, N = acc.shape
+    flat = acc.ndim == 2
+    if flat:
+        assert kp1 is not None
+        B, N = acc.shape[0], acc.shape[1] // kp1
+    else:
+        B, kp1, N = acc.shape
     L, K, UN = w.shape
     J = kp1 * l
     assert K == J * N and UN == kp1 * N and B % tm == 0 and L <= 3
@@ -546,7 +555,7 @@ def fused_cmux_step_v2(a, acc, w, *, l: int, bgbit: int, offset: int,
         compiler_params=_cparams("arbitrary", "arbitrary"),
         interpret=interpret,
     )(a2, a2, acc.reshape(B, kp1 * N), acc.reshape(B, kp1 * N), *ws)
-    return out.reshape(B, kp1, N)
+    return out if flat else out.reshape(B, kp1, N)
 
 
 # ---------------------------------------------------------------------------

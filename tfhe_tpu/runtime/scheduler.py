@@ -173,7 +173,9 @@ def evaluate(circ: Circuit, inputs, ck_data, params, outputs,
         # ~10 s/wave of round trips vs ~0.5 s of device compute on the
         # 2048x16-bit-adder workload, bench_results/README.md)
         flat = [o.reshape(-1, n + 1) for o in ops]
-        key = (kind, flat[0].shape, params, backend)
+        # env knobs read at trace time must key the cache too
+        key = (kind, flat[0].shape, params, backend,
+               os.environ.get("TFHE_V2_FLAT", "0"))
         if key not in _WAVE_JIT:
             _WAVE_JIT[key] = jax.jit(
                 lambda ck, *xs: fn(ck, *xs, params, backend))
@@ -193,7 +195,8 @@ def evaluate(circ: Circuit, inputs, ck_data, params, outputs,
         # combination t = wx*x + wy*y + (0,..,0,c0) is computed with the
         # per-gate constants as TRACED arrays, so the jit cache keys only
         # on the wave SHAPE — any kind mix of the same width reuses it.
-        key = ("binary", a.shape, params, backend)
+        key = ("binary", a.shape, params, backend,
+               os.environ.get("TFHE_V2_FLAT", "0"))
         if key not in _WAVE_JIT:
             def fnb(ck, a, b, c0, wx, wy):
                 sh = (-1,) + (1,) * (a.ndim - 1)
