@@ -139,6 +139,54 @@ def test_wave_width_capping(monkeypatch):
         np.testing.assert_array_equal(got, want, err_msg=f"cap={cap}")
 
 
+def test_wave_chaining_bit_identical(monkeypatch):
+    """TFHE_WAVE_CHAIN=K (K consecutive launches traced into one XLA
+    program) is BIT-identical to the per-launch path on a workload that
+    exercises every structural case: merged mixed-kind binary waves,
+    negated references, constant inputs, MUX waves, batched instances,
+    and a chain boundary that cuts through a dependency chain."""
+    import jax.numpy as jnp
+    from tfhe_tpu.runtime import Circuit, evaluate
+    from tfhe_tpu.runtime import scheduler
+
+    p = GATE_TOY
+    rng = TfheRng(23)
+    sk = gate.SecretKey.generate(p, rng)
+    ck = gate.CloudKey.generate(sk, rng, backend="onthefly")
+
+    # comparator (mux-bearing) wired with an extra const+negation layer
+    W = 4
+    circ, outs = scheduler.comparator(W)
+    k1 = circ.const(True)
+    extra = circ.and_(circ.not_(outs[0]), k1)   # NOT + const operands
+    outs = outs + [extra]
+
+    B = 3
+    xs = np.array([3, 9, 7], np.uint32)
+    ys = np.array([5, 9, 2], np.uint32)
+    bits = np.zeros((2 * W, B), bool)
+    for i in range(W):
+        bits[i] = (xs >> i) & 1
+        bits[W + i] = (ys >> i) & 1
+    cts = np.stack([np.asarray(gate.encrypt_bool(sk, bits[w], rng))
+                    for w in range(2 * W)])
+
+    monkeypatch.delenv("TFHE_WAVE_CHAIN", raising=False)
+    ref = np.asarray(evaluate(circ, jnp.asarray(cts), ck.data, p, outs,
+                              backend="onthefly"))
+    for k in ("2", "3", "100"):
+        monkeypatch.setenv("TFHE_WAVE_CHAIN", k)
+        got = np.asarray(evaluate(circ, jnp.asarray(cts), ck.data, p,
+                                  outs, backend="onthefly"))
+        np.testing.assert_array_equal(got, ref, err_msg=f"chain={k}")
+    dec = np.stack([np.asarray(gate.decrypt_bool(sk, got[:, b]))
+                    for b in range(B)])               # (B, 4)
+    np.testing.assert_array_equal(dec[:, 0], xs < ys)
+    np.testing.assert_array_equal(dec[:, 1], xs == ys)
+    np.testing.assert_array_equal(dec[:, 2], xs > ys)
+    np.testing.assert_array_equal(dec[:, 3], ~(xs < ys))
+
+
 def test_homomorphic_comparator_matches_plain(monkeypatch):
     """The MUX-bearing comparator tree (VERDICT r4 item 6): batched
     instances, mixed XNOR/AND level-0 wave, alternating AND/MUX merge

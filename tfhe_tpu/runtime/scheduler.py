@@ -214,64 +214,235 @@ def evaluate(circ: Circuit, inputs, ck_data, params, outputs,
         return _WAVE_JIT[key](ck_data, a, b, jnp.asarray(c0),
                               jnp.asarray(wx), jnp.asarray(wy))
 
+    # Pass 1: walk the schedule into a flat, knee-capped launch list.
+    # Each entry is ("binary"|"mux", [gate tuples]) and is exactly one
+    # gate-call-sized unit; dependency order is launch-list order.
+    launches = []
+    max_rows = int(os.environ.get("TFHE_MAX_WAVE_ROWS", 8192))
+    inst = int(np.prod(lead)) or 1
     for kind, gates in circ.schedule():
         obs.count("circuit.gates", len(gates))
         obs.count("circuit.waves")
         obs.observe("circuit.wave_width",
                     len(gates) * int(np.prod(lead)) if batched
                     else len(gates))
-        with obs.span(f"circuit.wave.{kind}"):
-            if kind == "mux":
-                # same launch-width cap as binary waves: each MUX costs 3
-                # bootstraps, so cap at max_rows/3 mux gates x instances
-                max_rows = int(os.environ.get("TFHE_MAX_WAVE_ROWS", 8192))
-                inst = int(np.prod(lead)) or 1
-                per = max(1, max_rows // (3 * inst))
-                for s in range(0, len(gates), per):
-                    grp = gates[s:s + per]
+        if kind == "mux":
+            # same launch-width cap as binary waves: each MUX costs 3
+            # bootstraps, so cap at max_rows/3 mux gates x instances
+            per = max(1, max_rows // (3 * inst))
+            for s in range(0, len(gates), per):
+                launches.append(("mux", gates[s:s + per]))
+        else:
+            # diagnostic knob: TFHE_WAVE_SPLIT=1 launches per kind
+            # (the pre-round-4 behavior) for A/B measurement
+            if os.environ.get("TFHE_WAVE_SPLIT", "") not in ("", "0"):
+                groups = {}
+                for g in gates:
+                    groups.setdefault(g[0], []).append(g)
+                groups = list(groups.values())
+            else:
+                groups = [gates]
+            # cap launch width: a wide level (e.g. a 32-bit adder's
+            # level 0 = 64 gates) x the instance batch can exceed HBM —
+            # the keyswitch one-hot temporaries cost ~32 KB/ct, so a
+            # 262k-row launch wants 8+ GB.  Split to <= max_rows.
+            # Default 8192 = the measured v5e throughput knee: capping
+            # every launch AT the knee measured 8,268 gate-bootstraps/s
+            # on 8192-instance 32-bit adders vs 7,137 at a 16384 cap
+            # (bench_results/circuit_adder32_r4 A/B).
+            per = max(1, max_rows // inst)
+            for grp in groups:
+                for i in range(0, len(grp), per):
+                    launches.append(("binary", grp[i:i + per]))
+
+    # Pass 2: execute.  TFHE_WAVE_CHAIN=K traces K consecutive launches
+    # into ONE jitted program (internal bootstraps stay at the knee width;
+    # the host dispatch gap between dependent launches — measured ~16% of
+    # adder wall-clock through the remote-device link,
+    # bench_results/circuit_adder32_trace_r5.json — disappears between
+    # chained launches).  Cache keys are structural (external operands by
+    # first-use position, gate kinds/negations/constants folded into
+    # traced affine arrays), so repeating circuit slices share compiles.
+    chain_k = int(os.environ.get("TFHE_WAVE_CHAIN", "1"))
+    if chain_k > 1:
+        _run_chained(launches, chain_k, store, lead, n, ck_data, params,
+                     backend)
+    else:
+        for kind, grp in launches:
+            with obs.span(f"circuit.wave.{kind}"):
+                if kind == "mux":
                     c = jnp.stack([fetch(g[1]) for g in grp])
                     x = jnp.stack([fetch(g[2]) for g in grp])
                     y = jnp.stack([fetch(g[3]) for g in grp])
                     res = run(kind, gate.gate_mux, c, x, y)
-                    for i, g in enumerate(grp):
-                        store[g[4]] = res[i]
-            else:
-                # diagnostic knob: TFHE_WAVE_SPLIT=1 launches per kind
-                # (the pre-round-4 behavior) for A/B measurement
-                if os.environ.get("TFHE_WAVE_SPLIT", "") not in ("", "0"):
-                    groups = {}
-                    for g in gates:
-                        groups.setdefault(g[0], []).append(g)
-                    groups = list(groups.values())
                 else:
-                    groups = [gates]
-                # cap launch width: a wide level (e.g. a 32-bit adder's
-                # level 0 = 64 gates) x the instance batch can exceed HBM —
-                # the keyswitch one-hot temporaries cost ~32 KB/ct, so a
-                # 262k-row launch wants 8+ GB.  Split to <= max_rows.
-                # Default 8192 = the measured v5e throughput knee: capping
-                # every launch AT the knee measured 8,268 gate-bootstraps/s
-                # on 8192-instance 32-bit adders vs 7,137 at a 16384 cap
-                # (bench_results/circuit_adder32_r4 A/B).
-                max_rows = int(os.environ.get("TFHE_MAX_WAVE_ROWS", 8192))
-                inst = int(np.prod(lead)) or 1
-                per = max(1, max_rows // inst)
-                groups = [grp[i:i + per] for grp in groups
-                          for i in range(0, len(grp), per)]
-                for grp in groups:
                     a = jnp.stack([fetch(g[1]) for g in grp])
                     b = jnp.stack([fetch(g[2]) for g in grp])
                     c0 = np.array([_AFFINE[g[0]][0] for g in grp], np.int32)
                     wx = np.array([_AFFINE[g[0]][1] for g in grp], np.int32)
                     wy = np.array([_AFFINE[g[0]][2] for g in grp], np.int32)
                     res = run_binary(a, b, c0, wx, wy)
-                    for i, g in enumerate(grp):
-                        store[g[4]] = res[i]
+                for i, g in enumerate(grp):
+                    store[g[4]] = res[i]
 
     outs = []
     for w in outputs:
         outs.append(fetch(circ.resolve(w)))
     return jnp.stack(outs)
+
+
+_CHAIN_JIT: dict = {}    # structural chain signature -> jitted chain fn
+
+
+def _run_chained(launches, K, store, lead, n, ck_data, params, backend):
+    """Execute the launch list in chains of K consecutive launches, each
+    chain ONE jitted XLA program.
+
+    Every launch inside a chain keeps its knee-capped width, but the host
+    round-trip between dependent launches (the measured ~16% device-idle
+    of the per-launch path, bench_results/circuit_adder32_trace_r5.json)
+    only happens once per chain.  The jit cache keys on the chain's
+    STRUCTURE — operand topology with external wires numbered by first
+    use — while gate kinds, input negations and constant inputs are
+    folded into traced affine/sign arrays, so e.g. every full-adder bit
+    slice of a ripple adder hits the same compiled program."""
+    from tfhe_tpu.boot import gate
+    from tfhe_tpu.utils import observability as obs
+
+    mu = int(gate.MU_BOOL)
+    for s in range(0, len(launches), K):
+        chain = launches[s:s + K]
+        # host pass: structural signature + traced constant arrays
+        ext_pos: dict = {}              # base wire -> ext stack index
+        ext_wires: list = []
+        internal: dict = {}             # base wire -> (desc idx, gate idx)
+        sig = []
+        tr = []
+
+        def tag_of(ref):
+            base, neg, cval = ref
+            if base < 0:
+                return ("c",), neg, cval
+            if base in internal:
+                return ("i",) + internal[base], neg, None
+            if base not in ext_pos:
+                ext_pos[base] = len(ext_wires)
+                ext_wires.append(base)
+            return ("e", ext_pos[base]), neg, None
+
+        for d, (kind, grp) in enumerate(chain):
+            gsig = []
+            if kind == "binary":
+                c0 = [0] * len(grp)
+                wx = [0] * len(grp)
+                wy = [0] * len(grp)
+                for i, g in enumerate(grp):
+                    gc0, gwx, gwy = _AFFINE[g[0]]
+                    c0[i] = gc0
+                    tags = []
+                    for ref, w, arr in ((g[1], gwx, wx), (g[2], gwy, wy)):
+                        t, neg, cval = tag_of(ref)
+                        ws = -w if neg else w
+                        if t[0] == "c":
+                            # trivial (0,..,0,±mu) input: only the b
+                            # coordinate contributes — fold into c0
+                            c0[i] += ws * (mu if cval else -mu)
+                            arr[i] = 0
+                        else:
+                            arr[i] = ws
+                        tags.append(t)
+                    gsig.append(tuple(tags))
+                tr.extend(np.asarray(v, np.int64).astype(np.int32)
+                          for v in (c0, wx, wy))
+            else:                       # mux: c ? x : y
+                sgn = [[1] * len(grp) for _ in range(3)]
+                cv = [[0] * len(grp) for _ in range(3)]
+                for i, g in enumerate(grp):
+                    tags = []
+                    for o, ref in enumerate((g[1], g[2], g[3])):
+                        t, neg, cval = tag_of(ref)
+                        if t[0] == "c":
+                            cv[o][i] = (-1 if neg else 1) * (
+                                mu if cval else -mu)
+                        else:
+                            sgn[o][i] = -1 if neg else 1
+                        tags.append(t)
+                    gsig.append(tuple(tags))
+                tr.extend(np.asarray(v, np.int32)
+                          for v in (*sgn, *cv))
+            sig.append((kind, tuple(gsig)))
+            for i, g in enumerate(grp):
+                internal[g[4]] = (d, i)
+
+        sig = tuple(sig)
+        key = (sig, lead, n, params, backend,
+               os.environ.get("TFHE_V2_FLAT", "0"))
+        if key not in _CHAIN_JIT:
+            _CHAIN_JIT[key] = jax.jit(
+                _make_chain_fn(sig, lead, n, params, backend))
+            obs.count("circuit.chain_compiles")
+        inst = int(np.prod(lead)) or 1
+        for kind, grp in chain:
+            obs.count("bootstrap.launches", 2 if kind == "mux" else 1)
+            obs.count("bootstrap.ciphertexts",
+                      (3 if kind == "mux" else 1) * len(grp) * inst)
+        if ext_wires:
+            ext = jnp.stack([store[w] for w in ext_wires])
+        else:
+            ext = jnp.zeros((0, *lead, n + 1), jnp.int32)
+        with obs.span("circuit.chain"):
+            results = _CHAIN_JIT[key](ck_data, ext, *tr)
+        for (kind, grp), res in zip(chain, results):
+            for i, g in enumerate(grp):
+                store[g[4]] = res[i]
+
+
+def _make_chain_fn(sig, lead, n, params, backend):
+    from tfhe_tpu.boot import gate
+
+    def chain_fn(ck, ext, *tr):
+        results = []
+
+        def row(t, cv):
+            if t[0] == "e":
+                return ext[t[1]]
+            if t[0] == "i":
+                return results[t[1]][t[2]]
+            z = jnp.zeros((*lead, n + 1), jnp.int32)
+            return z.at[..., -1].set(cv)
+
+        ti = 0
+        for kind, gsig in sig:
+            if kind == "binary":
+                c0, wx, wy = tr[ti:ti + 3]
+                ti += 3
+                a = jnp.stack([row(t[0], 0) for t in gsig])
+                b = jnp.stack([row(t[1], 0) for t in gsig])
+                sh = (-1,) + (1,) * (a.ndim - 1)
+                t = wx.reshape(sh) * a + wy.reshape(sh) * b
+                t = t.at[..., -1].add(c0.reshape(sh[:-1]))
+                out = gate.bootstrap(t.reshape(-1, n + 1), ck, params,
+                                     gate.MU_BOOL, backend)
+                results.append(out.reshape(a.shape))
+            else:
+                sc, sx, sy, cc, cx, cy = tr[ti:ti + 6]
+                ti += 6
+                c = jnp.stack([row(t[0], cc[i])
+                               for i, t in enumerate(gsig)])
+                x = jnp.stack([row(t[1], cx[i])
+                               for i, t in enumerate(gsig)])
+                y = jnp.stack([row(t[2], cy[i])
+                               for i, t in enumerate(gsig)])
+                sh = (-1,) + (1,) * (c.ndim - 1)
+                c = sc.reshape(sh) * c
+                x = sx.reshape(sh) * x
+                y = sy.reshape(sh) * y
+                flat = [o.reshape(-1, n + 1) for o in (c, x, y)]
+                res = gate.gate_mux(ck, *flat, params, backend)
+                results.append(res.reshape(c.shape))
+        return tuple(results)
+
+    return chain_fn
 
 
 def comparator(nbits: int):
