@@ -14,6 +14,15 @@ Environment overrides:
                 adapt to the batch via the ops/tiles.py VMEM chooser)
   BENCH_STEPS   override blind-rotation step count (default: full n)
   BENCH_REPS    timing repetitions (default 3)
+  BENCH_CHAIN   dependent bootstrap launches per timed rep (default 4 on
+                TPU, 1 on CPU).  A bootstrap maps a boolean ciphertext to
+                a refreshed ciphertext of the SAME bit, so x -> boot(x)
+                chains indefinitely and stays decrypt-checkable; timing R
+                chained launches per sync measures steady-state THROUGHPUT
+                with the per-launch host round-trip pipelined away (the
+                single-launch protocol pays one tunnel round trip per
+                launch: ~3% on the measured chip — see
+                bench_results/adder_raw_ratio_r5.json)
   BENCH_BACKEND negacyclic engine backend (default: "onthefly" for
                 N<=512 rings, "chunked" for N>=1024 — each ring size's
                 measured-fastest fused kernel)
@@ -103,6 +112,7 @@ def main():
 
     bits = np.random.default_rng(1).integers(0, 2, batch)
     ct = gate.encrypt_bool(sk, bits, rng)
+    chain = int(os.environ.get("BENCH_CHAIN", 4 if on_tpu else 1))
 
     t0 = time.time()
     out = boot(key_data, ct)
@@ -112,10 +122,12 @@ def main():
     times = []
     for _ in range(reps):
         t0 = time.time()
-        out = boot(key_data, ct)
+        out = ct
+        for _ in range(chain):      # dependent launches: queue stays full
+            out = boot(key_data, out)
         np.asarray(out[0])          # force full execution + transfer
         times.append(time.time() - t0)
-    best = min(times)
+    best = min(times) / chain
     # correctness check rides along (full-depth runs only)
     correct = None
     if not steps:
@@ -132,7 +144,7 @@ def main():
     meta = {
         "device": str(dev), "batch": batch, "backend": backend,
         "params": f"n={params.lwe.n},N={params.N},l={params.tgsw.l},bg=2^{params.tgsw.bgbit}",
-        "steps": steps or n_full, "best_s": round(best, 4),
+        "steps": steps or n_full, "best_s": round(best, 4), "chain": chain,
         "keygen_s": round(keygen_s, 1), "compile_s": round(compile_s, 1),
         "all_correct": correct,
     }
