@@ -90,3 +90,23 @@ def test_bootstrap_conv_backend_bit_exact_vs_matmul(keys):
     out_mm = gate.bootstrap(ct, ck_mm.data, GATE_TOY, backend="matmul")
     assert np.array_equal(np.asarray(out_conv), np.asarray(out_mm))
     assert np.array_equal(gate.decrypt_bool(sk, out_conv), bits.astype(bool))
+
+
+def test_small_batch_pad_bit_identical(keys, monkeypatch):
+    """blind_rotate pads sub-granule batches up to the fused-kernel tile
+    (64) on TPU so B=1..63 latency stays on the Pallas path; the pad rows
+    must not perturb the real rows.  Forced on under CPU here: a 3-row
+    batch through the padded path must equal the unpadded result bit for
+    bit."""
+    sk, ck = keys
+    rng = TfheRng(31)
+    bits = np.array([1, 0, 1])
+    ct = gate.encrypt_bool(sk, bits, rng)
+    ref = np.asarray(gate.bootstrap(ct, ck.data, GATE_TOY,
+                                    backend=ck.backend))
+    monkeypatch.setenv("TFHE_FORCE_PAD", "1")
+    out = np.asarray(gate.bootstrap(ct, ck.data, GATE_TOY,
+                                    backend=ck.backend))
+    assert np.array_equal(out, ref)
+    assert np.array_equal(gate.decrypt_bool(sk, jnp.asarray(out)),
+                          bits.astype(bool))

@@ -35,6 +35,17 @@ from tfhe_tpu.ops.engine import make_engine
 from tfhe_tpu import tgsw
 
 
+def _pad_batch(B: int) -> int:
+    """Fused-kernel batch granule: the smallest tile the Pallas CMux
+    kernels accept is tm=64 (ops/tiles.py), so any TPU batch below 64 (or
+    not a multiple of it) is ineligible and would fall through to the
+    generic XLA step — measured ~1.9 ms/step vs ~0.9 ms at tile width
+    (bench_results/latency_r5.json, the B=1 rows).  Padding junk rows up
+    to the granule keeps the scan on the fused kernel; the pad rows cost
+    nothing extra because the MXU processes a full tile either way."""
+    return -(-B // 64) * 64
+
+
 def blind_rotate(acc, bk_prepared, abar, p: TGswParams, backend: str = "matmul",
                  unroll: int = 1):
     """Run the n-step CMux loop.
@@ -45,6 +56,15 @@ def blind_rotate(acc, bk_prepared, abar, p: TGswParams, backend: str = "matmul",
     abar:        (B, n) int32 rotation exponents in [0, 2N).
     Returns the rotated accumulator (B, k+1, N).
     """
+    import os as _os
+    B = acc.shape[0]
+    Bp = _pad_batch(B)
+    if Bp != B and (jax.default_backend() == "tpu"
+                    or _os.environ.get("TFHE_FORCE_PAD", "") not in ("", "0")):
+        out = blind_rotate(
+            jnp.pad(acc, ((0, Bp - B), (0, 0), (0, 0))), bk_prepared,
+            jnp.pad(abar, ((0, Bp - B), (0, 0))), p, backend, unroll)
+        return out[:B]
     eng = make_engine(tgsw.engine_config(p), backend)
     fused_rotdec = (jax.default_backend() == "tpu" and p.tlwe.bits == 32
                     and p.bgbit <= 8)
