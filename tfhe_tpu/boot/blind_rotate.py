@@ -36,14 +36,17 @@ from tfhe_tpu import tgsw
 
 
 def _pad_batch(B: int) -> int:
-    """Fused-kernel batch granule: the smallest tile the Pallas CMux
-    kernels accept is tm=64 (ops/tiles.py), so any TPU batch below 64 (or
-    not a multiple of it) is ineligible and would fall through to the
+    """Fused-kernel batch granule.  TPU batches not a multiple of a tile
+    are ineligible for every Pallas CMux kernel and fall through to the
     generic XLA step — measured ~1.9 ms/step vs ~0.9 ms at tile width
     (bench_results/latency_r5.json, the B=1 rows).  Padding junk rows up
-    to the granule keeps the scan on the fused kernel; the pad rows cost
-    nothing extra because the MXU processes a full tile either way."""
-    return -(-B // 64) * 64
+    to the granule keeps the scan on the fused kernel.  The granule is
+    tm=128 — the calibrated tile (ops/tiles.py) — NOT the nominally
+    accepted tm=64: at M=64 the fused kernels collapse ~17-30x (measured
+    20.4 s for a padded B=1 GATE_DEFAULT NAND vs 1.2 s unpadded, i.e. the
+    64-row dots appear to leave the MXU path), while a 128-row pad runs
+    the exact config every production batch uses."""
+    return -(-B // 128) * 128
 
 
 def blind_rotate(acc, bk_prepared, abar, p: TGswParams, backend: str = "matmul",
@@ -59,8 +62,9 @@ def blind_rotate(acc, bk_prepared, abar, p: TGswParams, backend: str = "matmul",
     import os as _os
     B = acc.shape[0]
     Bp = _pad_batch(B)
-    if Bp != B and (jax.default_backend() == "tpu"
-                    or _os.environ.get("TFHE_FORCE_PAD", "") not in ("", "0")):
+    if (Bp != B and _os.environ.get("TFHE_PAD", "1") != "0"
+            and (jax.default_backend() == "tpu"
+                 or _os.environ.get("TFHE_FORCE_PAD", "") not in ("", "0"))):
         out = blind_rotate(
             jnp.pad(acc, ((0, Bp - B), (0, 0), (0, 0))), bk_prepared,
             jnp.pad(abar, ((0, Bp - B), (0, 0))), p, backend, unroll)
